@@ -1,0 +1,108 @@
+"""Device mesh + sharding utilities — the framework's communication backend.
+
+The reference (mcomunita/syncfusion) delegates all distribution to PyTorch
+Lightning DDP over NCCL (reference: script/train_onset_model.py:19-27,
+exp/train_diffusion_gh.yaml:84-96).  The TPU-native equivalent is a single
+``jax.sharding.Mesh`` whose axes ride the ICI links; gradients are reduced by
+the ``psum`` XLA inserts for batch-sharded computation, and ``sync_batchnorm``
+becomes a cross-replica ``pmean`` of batch statistics (see
+``models/onset_net.py``).
+
+Axis convention (all models here fit one chip, so ``data`` is the workhorse;
+``model`` exists so tensor-parallel shardings compose for larger variants):
+
+  * ``data``  — batch dimension (pure data parallelism).
+  * ``model`` — reserved for tensor parallelism of wide layers.
+
+Multi-host note: each JAX process feeds its addressable shard of the batch;
+``shard_batch`` uses ``jax.make_array_from_process_local_data`` when running
+multi-process so host→device traffic stays node-local and gradient reduction
+rides ICI, not DCN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Declarative mesh shape. ``data=-1`` means "all remaining devices"."""
+
+    data: int = -1
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int]:
+        model = self.model
+        data = self.data if self.data != -1 else n_devices // model
+        if data * model != n_devices:
+            raise ValueError(
+                f"MeshSpec(data={self.data}, model={self.model}) does not "
+                f"tile {n_devices} devices"
+            )
+        return data, model
+
+
+def create_mesh(
+    spec: MeshSpec | None = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh over the given (default: all) devices.
+
+    Device order is kept as ``jax.devices()`` returns it, which on TPU
+    already follows the physical torus so adjacent mesh coordinates are ICI
+    neighbours.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    spec = spec or MeshSpec()
+    data, model = spec.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard leading (batch) dim over ``data``; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n_data = mesh.shape[DATA_AXIS]
+    if global_batch % n_data:
+        raise ValueError(f"batch {global_batch} not divisible by data axis {n_data}")
+    return global_batch // n_data
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host-side batch pytree onto the mesh, sharded over ``data``.
+
+    Single-process: a plain ``device_put`` with a NamedSharding.
+    Multi-process: assembles the global array from process-local data so
+    each host only feeds its own chips.
+    """
+
+    def _put(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a parameter/opt-state pytree across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
