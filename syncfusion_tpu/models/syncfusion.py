@@ -1,0 +1,132 @@
+"""SyncFusion diffusion system: UNet + onset encoder + frozen embedder.
+
+The TPU counterpart of the reference's Lightning module
+(main/module_diffusion.py:22-87): holds the diffusion UNet and the onsets
+`Encoder1d` (both trained), computes CLAP embeddings with a frozen embedder,
+and wires the encoder's intermediate activations ``xs[2:-1]`` into the
+UNet's per-level context channels.
+
+Everything is a pure function over a parameter pytree
+``{"unet": ..., "encoder": ...}`` — frozen embedder params live outside and
+never receive gradients (reference freezes CLAP at module_diffusion.py:50-51).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from syncfusion_tpu.models.diffusion import v_diffusion_loss, v_sample
+from syncfusion_tpu.models.encoder1d import Encoder1d
+from syncfusion_tpu.models.unet1d import UNet1d
+
+
+@dataclasses.dataclass(frozen=True)
+class SyncFusionDiffusion:
+    unet: UNet1d
+    onsets_encoder: Encoder1d
+
+    # ------------------------------------------------------------- setup
+    @classmethod
+    def from_config(cls, model_cfg: Optional[dict] = None, dtype=jnp.float32):
+        """Build from an exp/model/diffusion.yaml-style config node (or the
+        reference defaults when None)."""
+        if model_cfg is None:
+            return cls(unet=UNet1d(dtype=dtype), onsets_encoder=Encoder1d(dtype=dtype))
+        m = model_cfg["model"]
+        e = model_cfg["onsets_encoder"]
+        unet = UNet1d(
+            in_channels=m.get("in_channels", 1),
+            channels=tuple(m["channels"]),
+            factors=tuple(m["factors"]),
+            items=tuple(m["items"]),
+            attentions=tuple(m["attentions"]),
+            cross_attentions=tuple(m["cross_attentions"]),
+            context_channels=tuple(m["context_channels"]),
+            attention_heads=m.get("attention_heads", 8),
+            attention_features=m.get("attention_features", 64),
+            embedding_features=m.get("embedding_features", 512),
+            embedding_max_length=m.get("embedding_max_length", 1),
+            use_embedding_cfg=m.get("use_embedding_cfg", True),
+            dtype=dtype,
+        )
+        encoder = Encoder1d(
+            in_channels=e.get("in_channels", 1),
+            channels=e["channels"],
+            multipliers=tuple(e["multipliers"]),
+            factors=tuple(e["factors"]),
+            num_blocks=tuple(e["num_blocks"]),
+            resnet_groups=e.get("resnet_groups", 2),
+            patch_size=e.get("patch_size", 1),
+            dtype=dtype,
+        )
+        return cls(unet=unet, onsets_encoder=encoder)
+
+    def init(self, key: jax.Array, length: int, batch: int = 1) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = jnp.zeros((batch, length, self.unet.in_channels))
+        onsets = jnp.zeros((batch, length, self.onsets_encoder.in_channels))
+        enc_params = self.onsets_encoder.init(k1, onsets)
+        context = self.encode_context(enc_params, onsets)
+        emb = jnp.zeros((batch, self.unet.embedding_max_length, self.unet.embedding_features))
+        sigma = jnp.zeros((batch,))
+        unet_params = self.unet.init(
+            {"params": k2, "cfg": k3}, x, sigma, context=context, embedding=emb
+        )
+        return {"unet": unet_params, "encoder": enc_params}
+
+    # ---------------------------------------------------------- forward
+    def encode_context(self, enc_params: Any, onsets: jax.Array) -> list[jax.Array]:
+        """Onset track (B, L, 1) → the UNet context pyramid (xs[2:-1],
+        reference: main/module_diffusion.py:76-77)."""
+        _, info = self.onsets_encoder.apply(enc_params, onsets, with_info=True)
+        return info["xs"][2:-1]
+
+    def loss(
+        self,
+        params: dict,
+        key: jax.Array,
+        wav: jax.Array,
+        onsets: jax.Array,
+        embedding: Optional[jax.Array],
+        embedding_mask_proba: float = 0.0,
+    ) -> jax.Array:
+        context = self.encode_context(params["encoder"], onsets)
+        return v_diffusion_loss(
+            self.unet.apply,
+            params["unet"],
+            key,
+            wav,
+            context=context,
+            embedding=embedding,
+            embedding_mask_proba=embedding_mask_proba,
+        )
+
+    def sample(
+        self,
+        params: dict,
+        noise: jax.Array,
+        onsets: jax.Array,
+        embedding: Optional[jax.Array],
+        num_steps: int = 150,
+        embedding_scale: float = 1.0,
+    ) -> jax.Array:
+        """Generate waveforms from noise (B, L, 1) conditioned on onsets +
+        embedding (reference eval protocol: 150 steps, scale 2.0 —
+        exp/evaluate_gh_gen.yaml:22-23)."""
+        context = self.encode_context(params["encoder"], onsets)
+        return v_sample(
+            self.unet.apply,
+            params["unet"],
+            noise,
+            num_steps,
+            context=context,
+            embedding=embedding,
+            embedding_scale=embedding_scale,
+        )
+
+    def param_count(self, params: dict) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,167 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syncfusion_tpu.models.diffusion import alpha_beta, v_diffusion_loss, v_sample
+from syncfusion_tpu.models.encoder1d import Encoder1d
+from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+from syncfusion_tpu.models.unet1d import UNet1d
+
+# Tiny configs: same structural rules as the full model
+# (exp/model/diffusion.yaml), shrunk for CPU tests.
+L = 512
+ENC = dict(
+    in_channels=1, channels=2,
+    multipliers=(1, 1, 4, 8, 8), factors=(1, 4, 4, 2), num_blocks=(1, 1, 1, 1),
+    resnet_groups=2,
+)
+UNET = dict(
+    in_channels=1, channels=(4, 8, 16, 16), factors=(1, 4, 4, 2),
+    items=(1, 1, 1, 2), attentions=(0, 0, 1, 1), cross_attentions=(1, 1, 1, 1),
+    context_channels=(2, 8, 16, 16), attention_heads=2, attention_features=8,
+    embedding_features=16, modulation_features=32, resnet_groups=2,
+)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    model = SyncFusionDiffusion(unet=UNet1d(**UNET), onsets_encoder=Encoder1d(**ENC))
+    params = model.init(jax.random.key(0), L, batch=2)
+    return model, params
+
+
+def test_encoder_xs_contract():
+    """xs[2:-1] channel/length pyramid must match the UNet context spec."""
+    enc = Encoder1d(**ENC)
+    x = jnp.zeros((2, L, 1))
+    params = enc.init(jax.random.key(0), x)
+    _, info = enc.apply(params, x, with_info=True)
+    xs = info["xs"]
+    # [input, stem, block0..block3]
+    assert len(xs) == 2 + len(ENC["factors"])
+    ctx = xs[2:-1]
+    chans = [c.shape[-1] for c in ctx]
+    lens = [c.shape[1] for c in ctx]
+    assert chans == [2, 8, 16]          # channels*multipliers[1:-1]
+    assert lens == [L, L // 4, L // 16]  # cumprod of factors
+    assert enc.context_channels()[: len(chans)] == chans
+
+
+def test_full_reference_config_contract():
+    """The real exp/model/diffusion.yaml geometry: encoder pyramid must line
+    up with the UNet's context_channels at every level."""
+    enc = Encoder1d()  # reference defaults
+    unet = UNet1d()  # reference defaults
+    ctx_ch = enc.context_channels()[:-1]
+    assert ctx_ch == list(unet.context_channels[: len(ctx_ch)])
+    facs = list(enc.factors)
+    lens, cur = [], 1
+    for f in facs[:-1]:
+        cur *= f
+        lens.append(cur)
+    # encoder xs[2:-1] downsample factors == unet level cumulative factors
+    cur, unet_lens = 1, []
+    for f in unet.factors:
+        cur *= f
+        unet_lens.append(cur)
+    assert lens == unet_lens[: len(lens)]
+
+
+def test_loss_and_grads_finite(stack):
+    model, params = stack
+    wav = jax.random.normal(jax.random.key(1), (2, L, 1))
+    onsets = jnp.zeros((2, L, 1)).at[:, 100, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(2), (2, 1, 16))
+
+    def loss_fn(p):
+        return model.loss(p, jax.random.key(3), wav, onsets, emb, 0.1)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = jnp.sqrt(
+        sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(grads))
+    )
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_sample_shapes_and_finite(stack):
+    model, params = stack
+    noise = jax.random.normal(jax.random.key(4), (2, L, 1))
+    onsets = jnp.zeros((2, L, 1)).at[:, 50, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(5), (2, 1, 16))
+    out = jax.jit(
+        lambda p, n: model.sample(p, n, onsets, emb, num_steps=3, embedding_scale=2.0)
+    )(params, noise)
+    assert out.shape == (2, L, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cfg_scale_one_equals_plain_conditional(stack):
+    """scale=1.0 must bypass the CFG double-batch and equal the cond pass."""
+    model, params = stack
+    noise = jax.random.normal(jax.random.key(6), (1, L, 1))
+    onsets = jnp.zeros((1, L, 1)).at[:, 10, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(7), (1, 1, 16))
+    a = model.sample(params, noise, onsets, emb, num_steps=2, embedding_scale=1.0)
+    ctx = model.encode_context(params["encoder"], onsets)
+    b = v_sample(model.unet.apply, params["unet"], noise, 2, context=ctx,
+                 embedding=emb, embedding_scale=1.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cfg_batched_equals_two_pass(stack):
+    """The single 2B-batched CFG forward must equal two separate passes."""
+    model, params = stack
+    unet, uparams = model.unet, params["unet"]
+    x = jax.random.normal(jax.random.key(8), (2, L, 1))
+    sigma = jnp.full((2,), 0.4)
+    onsets = jnp.zeros((2, L, 1)).at[:, 7, 0].set(1.0)
+    ctx = model.encode_context(params["encoder"], onsets)
+    emb = jax.random.normal(jax.random.key(9), (2, 1, 16))
+    scale = 2.0
+
+    v_cond = unet.apply(uparams, x, sigma, context=ctx, embedding=emb)
+    v_uncond = unet.apply(uparams, x, sigma, context=ctx, embedding=None)
+    expected = v_uncond + (v_cond - v_uncond) * scale
+
+    # one step of the batched-CFG net used inside v_sample
+    x2 = jnp.concatenate([x, x])
+    ctx2 = [jnp.concatenate([c, c]) for c in ctx]
+    emb2 = jnp.concatenate([emb, jnp.zeros_like(emb)])
+    mask = jnp.concatenate([jnp.zeros((2, 1, 1)), jnp.ones((2, 1, 1))])
+    v2 = unet.apply(uparams, x2, jnp.concatenate([sigma, sigma]), context=ctx2,
+                    embedding=emb2, embedding_cfg_mask=mask)
+    got_cond, got_uncond = jnp.split(v2, 2)
+    got = got_uncond + (got_cond - got_uncond) * scale
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+def test_vdiffusion_identities():
+    sigma = jnp.array([0.0, 0.5, 1.0])
+    a, b = alpha_beta(sigma)
+    np.testing.assert_allclose(np.asarray(a**2 + b**2), 1.0, atol=1e-6)
+    assert float(a[0]) == 1.0 and abs(float(b[2]) - 1.0) < 1e-6
+
+
+def test_sampler_zero_steps_is_identity(stack):
+    model, params = stack
+    noise = jax.random.normal(jax.random.key(10), (1, L, 1))
+    onsets = jnp.zeros((1, L, 1)).at[:, 0, 0].set(1.0)
+    out = model.sample(params, noise, onsets, None, num_steps=0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(noise))
+
+
+def test_perfect_net_denoises():
+    """If the net returns the true v, one step from sigma=1 → clean signal."""
+    x_clean = jnp.ones((1, 8, 1)) * 0.3
+    noise = jax.random.normal(jax.random.key(11), (1, 8, 1))
+
+    def oracle(params, x, sigma, **kw):
+        a, b = alpha_beta(sigma.reshape(-1, 1, 1))
+        # derive eps from x = a·x_clean + b·eps  (valid for any sigma)
+        eps = jnp.where(b > 0, (x - a * x_clean) / jnp.maximum(b, 1e-8), 0.0)
+        return a * eps - b * x_clean
+
+    out = v_sample(oracle, None, noise, num_steps=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x_clean), atol=1e-5)
