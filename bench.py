@@ -1,0 +1,73 @@
+"""Headline benchmark: 8-second foley clips per minute per chip.
+
+Protocol (reference eval semantics, exp/evaluate_gh_gen.yaml): generate
+2^18-sample (5.46 s @ 48 kHz) waveforms with the full-size diffusion model —
+onset-encoder context + CLAP-token conditioning, 150 v-sampler steps,
+CFG scale 2.0 (cond+uncond folded into one batched forward).
+
+Reported as clips/min/chip normalized to 8-second clips
+(driver target: ≥50 clips/min on v5e-8 ⇒ 6.25 clips/min/chip baseline).
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CLIPS_PER_MIN_PER_CHIP = 50.0 / 8.0  # driver target on v5e-8
+CLIP_SECONDS = 8.0
+SAMPLE_RATE = 48000
+LENGTH = 2**18
+NUM_STEPS = 150
+BATCH = 4
+
+
+def main() -> None:
+    from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+
+    model = SyncFusionDiffusion.from_config(None, dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), LENGTH, batch=1)
+
+    key = jax.random.key(1)
+    noise = jax.random.normal(key, (BATCH, LENGTH, 1), jnp.float32)
+    onsets = jnp.zeros((BATCH, LENGTH, 1), jnp.float32)
+    onsets = onsets.at[:, jnp.arange(BATCH) * 9600 + 4800, 0].set(1.0)
+    embedding = jax.random.normal(jax.random.key(2), (BATCH, 1, 512), jnp.float32)
+
+    @jax.jit
+    def generate(params, noise):
+        return model.sample(
+            params, noise, onsets, embedding,
+            num_steps=NUM_STEPS, embedding_scale=2.0,
+        )
+
+    # compile + warmup
+    generate(params, noise).block_until_ready()
+
+    n_runs = 2
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        out = generate(params, noise)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_runs
+
+    audio_seconds = BATCH * LENGTH / SAMPLE_RATE
+    clips_per_min = (audio_seconds / CLIP_SECONDS) / dt * 60.0
+    print(
+        json.dumps(
+            {
+                "metric": "8s_foley_clips_per_min_per_chip_150step",
+                "value": round(clips_per_min, 2),
+                "unit": "clips/min/chip",
+                "vs_baseline": round(clips_per_min / BASELINE_CLIPS_PER_MIN_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,17 +66,24 @@ class SyncFusionDiffusion:
         return cls(unet=unet, onsets_encoder=encoder)
 
     def init(self, key: jax.Array, length: int, batch: int = 1) -> dict:
-        k1, k2, k3 = jax.random.split(key, 3)
-        x = jnp.zeros((batch, length, self.unet.in_channels))
-        onsets = jnp.zeros((batch, length, self.onsets_encoder.in_channels))
-        enc_params = self.onsets_encoder.init(k1, onsets)
-        context = self.encode_context(enc_params, onsets)
-        emb = jnp.zeros((batch, self.unet.embedding_max_length, self.unet.embedding_features))
-        sigma = jnp.zeros((batch,))
-        unet_params = self.unet.init(
-            {"params": k2, "cfg": k3}, x, sigma, context=context, embedding=emb
-        )
-        return {"unet": unet_params, "encoder": enc_params}
+        # Jitted as one program: eager init dispatches thousands of tiny ops,
+        # which is pathological on high-latency device links.
+        def _init(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            x = jnp.zeros((batch, length, self.unet.in_channels))
+            onsets = jnp.zeros((batch, length, self.onsets_encoder.in_channels))
+            enc_params = self.onsets_encoder.init(k1, onsets)
+            context = self.encode_context(enc_params, onsets)
+            emb = jnp.zeros(
+                (batch, self.unet.embedding_max_length, self.unet.embedding_features)
+            )
+            sigma = jnp.zeros((batch,))
+            unet_params = self.unet.init(
+                {"params": k2, "cfg": k3}, x, sigma, context=context, embedding=emb
+            )
+            return {"unet": unet_params, "encoder": enc_params}
+
+        return jax.jit(_init)(key)
 
     # ---------------------------------------------------------- forward
     def encode_context(self, enc_params: Any, onsets: jax.Array) -> list[jax.Array]:
