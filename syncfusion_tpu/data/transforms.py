@@ -1,0 +1,164 @@
+"""Frame transforms for the onset dataset (numpy/PIL, seeded RNG).
+
+Implements the torchvision transform semantics the reference configs use
+(cfg/data/data-onset-greatesthit*.yaml): Resize (bilinear antialias),
+RandomCrop, CenterCrop, ColorJitter(brightness, contrast, saturation, hue)
+and ImageNet Normalize.  All transforms operate on a whole frame stack
+``(T, H, W, 3) float32 in [0,1]`` with ONE random draw per chunk (matching
+torchvision-on-video behavior: the same params apply to every frame of the
+clip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def resize(frames: np.ndarray, size) -> np.ndarray:
+    """size: int (short side) or (h, w)."""
+    t, h, w, _ = frames.shape
+    if isinstance(size, int):
+        if h <= w:
+            nh, nw = size, max(1, round(w * size / h))
+        else:
+            nh, nw = max(1, round(h * size / w)), size
+    else:
+        nh, nw = size
+    if (nh, nw) == (h, w):
+        return frames
+    out = np.empty((t, nh, nw, 3), np.float32)
+    for i in range(t):
+        img = Image.fromarray((frames[i] * 255.0 + 0.5).astype(np.uint8))
+        out[i] = np.asarray(
+            img.resize((nw, nh), Image.BILINEAR), np.float32
+        ) / 255.0
+    return out
+
+
+def crop(frames: np.ndarray, top: int, left: int, size: int) -> np.ndarray:
+    return frames[:, top : top + size, left : left + size, :]
+
+
+def center_crop(frames: np.ndarray, size: int) -> np.ndarray:
+    _, h, w, _ = frames.shape
+    return crop(frames, (h - size) // 2, (w - size) // 2, size)
+
+
+def random_crop(frames: np.ndarray, size: int, rng: np.random.Generator) -> np.ndarray:
+    _, h, w, _ = frames.shape
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    return crop(frames, top, left, size)
+
+
+def _blend(a: np.ndarray, b: np.ndarray, factor: float) -> np.ndarray:
+    return np.clip(factor * a + (1.0 - factor) * b, 0.0, 1.0)
+
+
+def adjust_brightness(x, f):
+    return _blend(x, np.zeros_like(x), f)
+
+
+def adjust_contrast(x, f):
+    gray = (x @ np.array([0.299, 0.587, 0.114], np.float32)).mean(
+        axis=(-2, -1), keepdims=True
+    )[..., None]
+    return _blend(x, np.broadcast_to(gray, x.shape), f)
+
+
+def adjust_saturation(x, f):
+    gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
+    return _blend(x, np.repeat(gray[..., None], 3, axis=-1), f)
+
+
+def adjust_hue(x, f):
+    """Shift hue by ``f`` (fraction of the full circle, |f| ≤ 0.5)."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc, minc = x.max(-1), x.min(-1)
+    v = maxc
+    deltac = maxc - minc
+    s = np.where(maxc > 0, deltac / np.maximum(maxc, 1e-8), 0.0)
+    dc = np.maximum(deltac, 1e-8)
+    rc, gc, bc = (maxc - r) / dc, (maxc - g) / dc, (maxc - b) / dc
+    h = np.where(maxc == r, bc - gc, np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = np.where(deltac == 0, 0.0, h)
+    h = (h + f) % 1.0
+    i = np.floor(h * 6.0)
+    frac = h * 6.0 - i
+    p, q, t_ = v * (1 - s), v * (1 - s * frac), v * (1 - s * (1 - frac))
+    i = i.astype(np.int32) % 6
+    conds = [i == k for k in range(6)]
+    r2 = np.select(conds, [v, q, p, p, t_, v])
+    g2 = np.select(conds, [t_, v, v, q, p, p])
+    b2 = np.select(conds, [p, p, t_, v, v, q])
+    return np.stack([r2, g2, b2], axis=-1).astype(np.float32)
+
+
+def color_jitter(
+    frames: np.ndarray,
+    rng: np.random.Generator,
+    brightness: float = 0.0,
+    contrast: float = 0.0,
+    saturation: float = 0.0,
+    hue: float = 0.0,
+) -> np.ndarray:
+    """torchvision ColorJitter semantics: uniform factors, random op order."""
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda x, f=f: adjust_brightness(x, f))
+    if contrast > 0:
+        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda x, f=f: adjust_contrast(x, f))
+    if saturation > 0:
+        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(lambda x, f=f: adjust_saturation(x, f))
+    if hue > 0:
+        f = rng.uniform(-hue, hue)
+        ops.append(lambda x, f=f: adjust_hue(x, f))
+    for idx in rng.permutation(len(ops)):
+        frames = ops[idx](frames)
+    return frames
+
+
+def normalize(frames: np.ndarray) -> np.ndarray:
+    return (frames - IMAGENET_MEAN) / IMAGENET_STD
+
+
+@dataclasses.dataclass
+class FrameTransform:
+    """Composed per-chunk transform pipeline.
+
+    ``augment=False`` → Resize(112,112) + Normalize (reference eval default,
+    main/dataset_onset.py:47-50); ``augment=True`` → Resize(128) +
+    RandomCrop(112) + ColorJitter(0.4, 0.2, 0.4, 0.1) + Normalize
+    (cfg/data/data-onset-greatesthit-augment.yaml:8-30).
+    """
+
+    augment: bool = False
+    size: int = 112
+    resize_to: int = 128
+    brightness: float = 0.4
+    contrast: float = 0.2
+    saturation: float = 0.4
+    hue: float = 0.1
+
+    def __call__(self, frames: np.ndarray, rng: Optional[np.random.Generator] = None):
+        if self.augment:
+            rng = rng if rng is not None else np.random.default_rng()
+            frames = resize(frames, self.resize_to)
+            frames = random_crop(frames, self.size, rng)
+            frames = color_jitter(
+                frames, rng, self.brightness, self.contrast, self.saturation, self.hue
+            )
+        else:
+            frames = resize(frames, (self.size, self.size))
+        return normalize(frames)

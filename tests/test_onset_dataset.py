@@ -1,0 +1,104 @@
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from syncfusion_tpu.data.onset_dataset import GreatestHitsDataset, loader, natsorted
+from syncfusion_tpu.data.transforms import (
+    FrameTransform,
+    adjust_hue,
+    color_jitter,
+    normalize,
+    resize,
+)
+
+FPS = 15
+
+
+@pytest.fixture()
+def gh_root(tmp_path):
+    """Synthesize the preprocessed Greatest Hits layout for 2 videos."""
+    rng = np.random.default_rng(0)
+    names = []
+    for v in range(2):
+        name = f"2015-02-16-{v}"
+        names.append(name)
+        d = tmp_path / name
+        (d / "frames").mkdir(parents=True)
+        duration = 4.5  # → 2 chunks of 2 s
+        meta = {"processed": {"video_frame_rate": FPS, "video_duration": duration}}
+        (d / f"{name}.metadata.json").write_text(json.dumps(meta))
+        (d / f"{name}.times.csv").write_text("0.5,hit\n1.9,hit\n2.5,scratch\n4.4,hit\n")
+        n_frames = int(duration * FPS) + 1
+        for i in range(1, n_frames + 1):
+            img = Image.fromarray(rng.integers(0, 255, (24, 32, 3), np.uint8))
+            img.save(d / "frames" / f"frame_{i:06d}.jpg")
+    (tmp_path / "train.txt").write_text("\n".join(names) + "\n")
+    return tmp_path
+
+
+def test_natsorted():
+    assert natsorted(["f_10", "f_2", "f_1"]) == ["f_1", "f_2", "f_10"]
+
+
+def test_dataset_chunking_and_labels(gh_root):
+    ds = GreatestHitsDataset(
+        str(gh_root), str(gh_root / "train.txt"),
+        frames_transforms=FrameTransform(augment=False, size=16),
+    )
+    # 4.5 s → 2 chunks per video × 2 videos
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["frames"].shape == (30, 16, 16, 3)
+    assert item["label"].shape == (30,)
+    # onsets at 0.5 s (frame 7) and 1.9 s (frame 28) in chunk 0
+    np.testing.assert_array_equal(np.nonzero(item["label"])[0], [7, 28])
+    # chunk 1: onset at 2.5 s → frame int(0.5*15)=7; 4.4 s is outside chunk 1
+    item1 = ds[1]
+    np.testing.assert_array_equal(np.nonzero(item1["label"])[0], [7])
+    assert item["start_frame"] == 0 and item1["start_frame"] == 30
+
+
+def test_dataset_augment_shapes(gh_root):
+    ds = GreatestHitsDataset(
+        str(gh_root), str(gh_root / "train.txt"),
+        frames_transforms=FrameTransform(augment=True, size=16, resize_to=20),
+    )
+    item = ds[0]
+    assert item["frames"].shape == (30, 16, 16, 3)
+
+
+def test_loader_batches(gh_root):
+    ds = GreatestHitsDataset(
+        str(gh_root), str(gh_root / "train.txt"),
+        frames_transforms=FrameTransform(augment=False, size=16),
+    )
+    batches = list(loader(ds, batch_size=3, shuffle=True, num_workers=2))
+    assert batches[0]["frames"].shape == (3, 30, 16, 16, 3)
+    assert batches[0]["label"].shape == (3, 30)
+    assert sum(b["frames"].shape[0] for b in batches) == 4
+
+
+def test_transforms_normalize_and_resize():
+    frames = np.full((2, 8, 10, 3), 0.5, np.float32)
+    out = resize(frames, 4)  # short side 4 → (4, 5)
+    assert out.shape == (2, 4, 5, 3)
+    normed = normalize(frames)
+    assert abs(float(normed[0, 0, 0, 0]) - (0.5 - 0.485) / 0.229) < 1e-5
+
+
+def test_hue_rotation_identity():
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 4, 4, 3)).astype(np.float32)
+    np.testing.assert_allclose(adjust_hue(x, 0.0), x, atol=1e-5)
+    # full rotation returns to start
+    np.testing.assert_allclose(adjust_hue(x, 1.0), x, atol=1e-4)
+
+
+def test_color_jitter_deterministic_with_seed():
+    x = np.random.default_rng(1).random((2, 6, 6, 3)).astype(np.float32)
+    a = color_jitter(x, np.random.default_rng(5), 0.4, 0.2, 0.4, 0.1)
+    b = color_jitter(x, np.random.default_rng(5), 0.4, 0.2, 0.4, 0.1)
+    np.testing.assert_array_equal(a, b)
