@@ -1,0 +1,135 @@
+import numpy as np
+import pytest
+
+from syncfusion_tpu.eval.fad import (
+    MelStatsEmbedder,
+    VGGish,
+    VGGishEmbedder,
+    evaluate_fad,
+    frechet_distance,
+    gaussian_stats,
+    vggish_log_mel,
+)
+from syncfusion_tpu.eval.onset_detect import SR, onset_detect, onset_strength
+from syncfusion_tpu.eval.onset_metrics import (
+    evaluate_onset_dirs,
+    match_onsets,
+    onset_nms,
+)
+from syncfusion_tpu.ops.wav import write_wav
+
+
+def _click_track(times, total=2.0, sr=SR, seed=0):
+    """Exponentially-decaying noise bursts at given onset times."""
+    rng = np.random.default_rng(seed)
+    y = np.zeros(int(total * sr), np.float32)
+    for t in times:
+        i = int(t * sr)
+        n = min(2000, len(y) - i)
+        burst = rng.normal(size=n).astype(np.float32) * np.exp(
+            -np.arange(n, dtype=np.float32) / 300.0
+        )
+        y[i : i + n] += burst
+    return y * 0.5
+
+
+def test_onset_detect_finds_clicks():
+    times = [0.3, 0.8, 1.4]
+    y = _click_track(times)
+    onsets = onset_detect(y, SR, delta=0.3) / SR
+    assert len(onsets) == 3
+    for t, o in zip(times, sorted(onsets)):
+        assert abs(t - o) < 0.05
+
+
+def test_onset_detect_silent():
+    y = np.zeros(SR, np.float32)
+    assert len(onset_detect(y, SR)) == 0
+
+
+def test_onset_strength_peaks_at_transients():
+    y = _click_track([1.0])
+    env = onset_strength(y)
+    peak_frame = int(np.argmax(env))
+    assert abs(peak_frame * 512 / SR - 1.0) < 0.1
+
+
+def test_onset_nms_suppresses_neighbors():
+    onsets = np.array([1000, 1500, 30000])
+    conf = [0.9, 0.5, 0.8]
+    kept = onset_nms(onsets, conf, window=0.05)
+    np.testing.assert_array_equal(kept, [1000, 30000])
+
+
+def test_match_onsets_perfect():
+    y = _click_track([0.3, 0.9])
+    gt = np.array([int(0.3 * SR), int(0.9 * SR)])
+    pred = gt + 200  # within delta
+    res = match_onsets(gt, pred, y)
+    assert res["acc"] == 1.0 and res["count_match"]
+
+
+def test_match_onsets_miss():
+    y = _click_track([0.3])
+    gt = np.array([int(0.3 * SR), int(1.5 * SR)])
+    pred = np.array([int(0.3 * SR)])
+    res = match_onsets(gt, pred, y)
+    assert res["acc"] == 0.5
+
+
+def test_evaluate_onset_dirs(tmp_path):
+    gen, tar = tmp_path / "gen", tmp_path / "tar"
+    gen.mkdir(), tar.mkdir()
+    for i in range(3):
+        times = [0.2 + 0.1 * i, 1.0]
+        write_wav(tar / f"{i}.wav", _click_track(times, seed=i), SR)
+        write_wav(gen / f"{i}.wav", _click_track(times, seed=i + 10), SR)
+    m = evaluate_onset_dirs(gen, tar)
+    assert m["num_files"] == 3
+    assert m["detection_acc"] > 0.9
+    assert m["onset_count_match"] > 0.9
+
+
+# ------------------------------------------------------------------- FAD
+def test_frechet_distance_identity_and_separation():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 8))
+    b = rng.normal(size=(500, 8)) + 3.0
+    mu_a, s_a = gaussian_stats(a)
+    mu_b, s_b = gaussian_stats(b)
+    assert frechet_distance(mu_a, s_a, mu_a, s_a) < 1e-6
+    assert frechet_distance(mu_a, s_a, mu_b, s_b) > 50.0
+
+
+def test_vggish_log_mel_shapes():
+    y = np.random.default_rng(0).normal(size=32000).astype(np.float32)  # 2 s @ 16 k
+    patches = vggish_log_mel(y, 16000)
+    assert patches.shape == (2, 96, 64)
+    # resamples other rates
+    y48 = np.random.default_rng(0).normal(size=96000).astype(np.float32)
+    assert vggish_log_mel(y48, 48000).shape == (2, 96, 64)
+
+
+def test_vggish_network_output_shape():
+    import jax, jax.numpy as jnp
+
+    net = VGGish()
+    v = jax.jit(lambda: net.init(jax.random.key(0), jnp.zeros((1, 96, 64, 1))))()
+    out = net.apply(v, jnp.zeros((3, 96, 64, 1)))
+    assert out.shape == (3, 128)
+
+
+def test_evaluate_fad_dirs_sanity(tmp_path):
+    """Same-distribution dirs score (much) lower than shifted ones."""
+    rng = np.random.default_rng(0)
+    near, far, ref = tmp_path / "a", tmp_path / "b", tmp_path / "r"
+    for d in (near, far, ref):
+        d.mkdir()
+    for i in range(6):
+        base = rng.normal(size=32000).astype(np.float32) * 0.2
+        write_wav(ref / f"{i}.wav", base, 16000)
+        write_wav(near / f"{i}.wav", base + rng.normal(size=32000) * 0.01, 16000)
+        write_wav(far / f"{i}.wav", base * 0.01, 16000)
+    fad_near = evaluate_fad(near, ref)["fad_melstats"]
+    fad_far = evaluate_fad(far, ref)["fad_melstats"]
+    assert fad_near < fad_far
