@@ -1,0 +1,141 @@
+"""CLAP model: towers + projection heads + the reference's embedding API.
+
+Mirrors ``laion_clap.CLAP_Module`` usage in the reference
+(main/module_diffusion.py:64-71):
+  * ``embed_audio``: int16 round-trip quantization → repeat-pad/truncate to
+    10 s @ 48 kHz → HTSAT latent → MLP projection → L2 normalize → (B,1,512)
+  * ``embed_text``: RoBERTa <s> token → MLP projection → L2 normalize
+
+The audio path is fully jitted (mel + Swin + projection in one XLA program).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from syncfusion_tpu.models.clap.htsat import (
+    CLAP_SAMPLES,
+    HTSAT,
+    clap_mel,
+    prepare_audio,
+    reshape_mel_to_image,
+)
+from syncfusion_tpu.models.clap.roberta import RobertaModel, tokenize
+from syncfusion_tpu.ops.quantize import int16_round_trip
+
+
+class Projection(nn.Module):
+    """Linear → ReLU → Linear (laion_clap projection MLP)."""
+
+    out_features: int = 512
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.out_features, name="linear1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out_features, name="linear2")(x)
+
+
+class ClapModel(nn.Module):
+    embed_dim: int = 512
+
+    def setup(self):
+        self.audio_branch = HTSAT(name="audio_branch")
+        self.text_branch = RobertaModel(name="text_branch")
+        self.audio_projection = Projection(self.embed_dim, name="audio_projection")
+        self.text_projection = Projection(self.embed_dim, name="text_projection")
+        # input mel normalization (HTSAT bn0 over mel bins, inference stats)
+        self.mel_scale = self.param("mel_bn_scale", nn.initializers.ones, (64,))
+        self.mel_bias = self.param("mel_bn_bias", nn.initializers.zeros, (64,))
+        self.mel_mean = self.param("mel_bn_mean", nn.initializers.zeros, (64,))
+        self.mel_var = self.param("mel_bn_var", nn.initializers.ones, (64,))
+
+    def encode_audio(self, wav: jax.Array) -> jax.Array:
+        """(B, 480000) float32 → (B, 512) L2-normalized embedding."""
+        mel = clap_mel(wav)  # (B, T, 64)
+        mel = (mel - self.mel_mean) / jnp.sqrt(self.mel_var + 1e-5)
+        mel = mel * self.mel_scale + self.mel_bias
+        image = reshape_mel_to_image(mel)
+        latent = self.audio_branch(image)
+        emb = self.audio_projection(latent)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def encode_text(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        hidden = self.text_branch(input_ids, attention_mask)
+        cls = hidden[:, 0]  # <s> token
+        emb = self.text_projection(cls)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def __call__(self, wav, input_ids, attention_mask):
+        return self.encode_audio(wav), self.encode_text(input_ids, attention_mask)
+
+
+class ClapEmbedder:
+    """Frozen embedder facade used by training/generation.
+
+    ``checkpoint_path`` (the 630k-audioset-best.pt) loads converted weights;
+    without it the embedder is randomly initialized (architecture-complete,
+    numerically meaningless — fine for throughput work, gated for parity).
+    """
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
+        enable_fusion: bool = False,
+        amodel: str = "HTSAT-tiny",
+    ):
+        assert not enable_fusion, "fusion variant not supported (reference uses False)"
+        assert amodel == "HTSAT-tiny"
+        self.model = ClapModel()
+        self.tokenizer_path = tokenizer_path
+        if checkpoint_path:
+            from syncfusion_tpu.models.clap.convert import convert_laion_clap
+            from syncfusion_tpu.core.checkpoint import load_torch_state_dict
+
+            self.variables = convert_laion_clap(load_torch_state_dict(checkpoint_path))
+        else:
+            self.variables = jax.jit(
+                lambda: self.model.init(
+                    jax.random.key(0),
+                    jnp.zeros((1, CLAP_SAMPLES)),
+                    jnp.ones((1, 8), jnp.int32),
+                    jnp.ones((1, 8), jnp.int32),
+                )
+            )()
+        self._audio_fn = jax.jit(
+            lambda v, w: self.model.apply(v, w, method=ClapModel.encode_audio)
+        )
+        self._text_fn = jax.jit(
+            lambda v, ids, mask: self.model.apply(
+                v, ids, mask, method=ClapModel.encode_text
+            )
+        )
+
+    # -------------------------------------------------- reference API
+    def embed_audio(self, wav: np.ndarray) -> np.ndarray:
+        """(B, L, 1) or (B, L) waveform → (B, 1, 512).
+
+        Applies the int16 round-trip the reference depends on for parity
+        (main/utils.py:22-28)."""
+        wav = np.asarray(wav)
+        if wav.ndim == 3:
+            wav = wav[:, :, 0]
+        wav = int16_round_trip(wav.astype(np.float32))
+        wav = prepare_audio(wav, CLAP_SAMPLES)
+        emb = self._audio_fn(self.variables, jnp.asarray(wav))
+        return np.asarray(emb)[:, None, :]
+
+    def embed_text(self, texts: list[str]) -> np.ndarray:
+        toks = tokenize(texts, tokenizer_path=self.tokenizer_path)
+        emb = self._text_fn(
+            self.variables,
+            jnp.asarray(toks["input_ids"]),
+            jnp.asarray(toks["attention_mask"]),
+        )
+        return np.asarray(emb)[:, None, :]
