@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Diffusion evaluation driver (reference script/evaluate_diffusion.py UX).
+
+    python script/evaluate_diffusion.py exp=evaluate_gh_gen \
+        experiment_path=./output/experiments/gh-gen \
+        evaluation.gt_dir=./output/experiments/gh-gt \
+        experiment.dataset.path="data/.../test_shard_1.tar" \
+        model_path=checkpoints/run/ckpts  [model.embedder_checkpoint=...]
+
+Runs ``experiment`` (generation or GT prep), then ``evaluation`` (FAD) and
+writes metrics.csv into the experiment dir.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import pandas as pd
+
+from syncfusion_tpu.core.config import instantiate, load_config
+from syncfusion_tpu.core.logging import get_logger
+from syncfusion_tpu.models.embedder import build_embedder
+from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+
+log = get_logger("evaluate_diffusion")
+
+
+def load_params(model: SyncFusionDiffusion, model_path: str | None, length: int):
+    """Init params, then restore from an orbax run dir or a torch .ckpt."""
+    params = model.init(jax.random.key(0), length, batch=1)
+    if not model_path:
+        log.warning("no model_path — using randomly initialized model")
+        return params
+    p = Path(model_path)
+    if p.suffix in (".ckpt", ".pt", ".pth"):
+        raise NotImplementedError(
+            "direct torch-checkpoint loading for the diffusion model requires "
+            "the weight-mapping table (core/checkpoint.py convert_with_map); "
+            "export an orbax checkpoint instead"
+        )
+    from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
+
+    state_tpl = {"params": params}
+    restored = Checkpointer(CheckpointConfig(directory=p)).restore(state_tpl)
+    return restored["params"]
+
+
+def main(argv=None) -> None:
+    overrides = argv if argv is not None else sys.argv[1:]
+    cfg = load_config(Path(__file__).resolve().parents[1] / "config.yaml", overrides)
+    assert cfg.get("exp"), "pass exp=evaluate_gh_gen / prepare_gh_gt / ..."
+
+    exp_node = dict(cfg.experiment)
+    target = exp_node.get("_target_", "")
+    dataset_fn = instantiate(exp_node.pop("dataset"))
+    exp_fn = instantiate(exp_node)
+
+    if "generate_dataset" in target:
+        model = SyncFusionDiffusion.from_config(cfg.model)
+        embedder = build_embedder(cfg.model)
+        params = load_params(model, cfg.get("model_path"), cfg.gen_length)
+        exp_fn(
+            model=model,
+            params=params,
+            dataset=dataset_fn(),
+            embed_audio=embedder.embed_audio,
+            embed_text=embedder.embed_text,
+        )
+    else:  # prepare_gt_for_fad
+        exp_fn(dataset=dataset_fn())
+
+    if cfg.get("evaluation"):
+        results = instantiate(cfg.evaluation)()
+        df = pd.DataFrame([results])
+        out = Path(cfg.experiment_path) / "metrics.csv"
+        df.to_csv(out, index=False)
+        log.info("metrics: %s → %s", results, out)
+        print(df.to_string(index=False))
+
+
+if __name__ == "__main__":
+    main()

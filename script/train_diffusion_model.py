@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Diffusion training driver (reference script/train_diffusion_model.py UX).
+
+    python script/train_diffusion_model.py exp=train_diffusion_gh \
+        model.embedder_checkpoint=checkpoints/630k-audioset-best.pt \
+        datamodule.batch_size=2 \
+        datamodule.train_dataset.path="data/.../train_shard_{1..3}.tar" \
+        datamodule.val_dataset.path="data/.../val_shard_1.tar" [+ckpt=DIR]
+"""
+
+from __future__ import annotations
+
+import itertools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
+from syncfusion_tpu.core.config import instantiate, load_config
+from syncfusion_tpu.core.logging import MetricLogger, get_logger
+from syncfusion_tpu.core.mesh import mesh_for_batch, shard_batch
+from syncfusion_tpu.core import precision as precision_lib
+from syncfusion_tpu.data.prefetch import device_prefetch
+from syncfusion_tpu.data.sfx_dataset import batched
+from syncfusion_tpu.models.embedder import build_embedder
+from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+from syncfusion_tpu.train.diffusion_trainer import DiffusionTrainer, OptimizerConfig
+
+log = get_logger("train_diffusion")
+
+
+def make_batches(dataset_fn, cfg, seed, embedder, length):
+    """Dataset stream → model batches with CLAP embedding of the cond chunk."""
+    stream = batched(
+        dataset_fn(seed=seed),
+        batch_size=cfg.datamodule.batch_size,
+        drop_last=True,
+        shuffle_size=cfg.datamodule.get("shuffle_size", 0),
+        seed=seed,
+    )
+    for b in stream:
+        yield {
+            "wav": b["wav"],
+            "onsets": b["onsets"],
+            "embedding": embedder.embed_audio(b["cond"]),
+        }
+
+
+def main(argv=None) -> None:
+    overrides = argv if argv is not None else sys.argv[1:]
+    cfg = load_config(Path(__file__).resolve().parents[1] / "config.yaml", overrides)
+    assert cfg.get("exp"), "pass exp=train_diffusion_gh"
+    run_dir = Path(cfg.logs_dir) / "runs" / time.strftime("%Y-%m-%d-%H-%M-%S")
+    metrics_logger = MetricLogger(run_dir, use_wandb=cfg.get("use_wandb", False))
+    log.info("run dir: %s", run_dir)
+
+    policy = precision_lib.policy(
+        "parity" if cfg.trainer.get("precision") == 32 else cfg.get("precision", "default")
+    )
+    model = SyncFusionDiffusion.from_config(cfg.model, dtype=policy.compute_dtype)
+    embedder = build_embedder(cfg.model)
+    if not cfg.model.get("embedder_checkpoint"):
+        log.warning("no CLAP checkpoint — embedder is zero/random-weight")
+
+    mesh = mesh_for_batch(cfg.datamodule.batch_size)
+    trainer = DiffusionTrainer(
+        model,
+        OptimizerConfig(
+            lr=cfg.model.lr, lr_beta1=cfg.model.lr_beta1, lr_beta2=cfg.model.lr_beta2,
+            lr_eps=cfg.model.lr_eps, lr_weight_decay=cfg.model.lr_weight_decay,
+            gradient_clip_val=cfg.trainer.gradient_clip_val,
+            accumulate_grad_batches=cfg.trainer.accumulate_grad_batches,
+        ),
+        mesh=mesh,
+        embedding_mask_proba=cfg.get("embedding_mask_proba", 0.0),
+    )
+    params = model.init(jax.random.key(cfg.seed), cfg.length, batch=1)
+    state = trainer.create_state(params)
+    log.info("params: %.1fM over %d devices", model.param_count(params) / 1e6,
+             len(jax.devices()))
+
+    ckpt = Checkpointer(CheckpointConfig(
+        directory=run_dir / "ckpts", monitor="valid_loss",
+        save_top_k=cfg.callbacks.model_checkpoint.save_top_k,
+        save_last=cfg.callbacks.model_checkpoint.save_last,
+    ))
+    if cfg.get("ckpt"):
+        state = Checkpointer(
+            CheckpointConfig(directory=cfg.ckpt)
+        ).restore(state)
+        log.info("resumed from %s at step %d", cfg.ckpt, int(state.step))
+
+    train_fn = instantiate(cfg.datamodule.train_dataset)
+    val_fn = instantiate(cfg.datamodule.val_dataset)
+    rng = jax.random.key(cfg.seed + 1)
+
+    step = int(state.step)
+    val_every = cfg.trainer.get("val_check_interval", 1000)
+    t0 = time.time()
+    for epoch in itertools.count():
+        stream = device_prefetch(
+            make_batches(train_fn, cfg, seed=cfg.seed + epoch, embedder=embedder,
+                         length=cfg.length),
+            mesh=mesh,
+        )
+        for batch in stream:
+            rng, sub = jax.random.split(rng)
+            state, metrics = trainer.train_step(state, batch, sub)
+            step += 1
+            if step % cfg.trainer.get("log_every_n_steps", 10) == 0:
+                dt = (time.time() - t0) / cfg.trainer.get("log_every_n_steps", 10)
+                metrics_logger.log(
+                    {"train_loss": float(metrics["train_loss"]), "sec_per_step": dt},
+                    step=step,
+                )
+                t0 = time.time()
+            if step % val_every == 0:
+                val_losses = []
+                for vb in itertools.islice(
+                    make_batches(val_fn, cfg, seed=0, embedder=embedder,
+                                 length=cfg.length),
+                    cfg.trainer.get("val_batches", 16),
+                ):
+                    m = trainer.eval_step(state, shard_batch(vb, mesh), jax.random.key(0))
+                    val_losses.append(float(m["valid_loss"]))
+                valid_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+                metrics_logger.log({"valid_loss": valid_loss}, step=step)
+                ckpt.save(step, state, {"valid_loss": valid_loss})
+                log.info("step %d valid_loss %.4f", step, valid_loss)
+                _log_samples(cfg, model, state, embedder, metrics_logger, step)
+            if step >= cfg.get("max_steps", 10**9):
+                ckpt.wait()
+                return
+        log.info("epoch %d done at step %d", epoch, step)
+
+
+def _log_samples(cfg, model, state, embedder, metrics_logger, step):
+    """SampleLogger equivalent (reference main/module_diffusion.py:155-257):
+    sample a couple of clips from the val stream each validation round."""
+    sl = cfg.callbacks.get("audio_samples_logger")
+    if not sl:
+        return
+    try:
+        val_fn = instantiate(cfg.datamodule.val_dataset)
+        items = list(itertools.islice(val_fn(seed=0), sl.num_items))
+        if not items:
+            return
+        from syncfusion_tpu.data.sfx_dataset import collate
+
+        b = collate(items)
+        emb = embedder.embed_audio(b["cond"])
+        noise = jax.random.normal(
+            jax.random.key(step), (len(items), cfg.length, 1)
+        )
+        for steps in sl.sampling_steps:
+            wavs = np.asarray(model.sample(
+                state.params, noise, jnp.asarray(b["onsets"]), jnp.asarray(emb),
+                num_steps=steps, embedding_scale=sl.embedding_scale,
+            ))[:, :, 0]
+            for i, w in enumerate(wavs):
+                metrics_logger.log_audio(f"sample_{i}", w, cfg.sampling_rate, step)
+    except Exception as e:  # sampling must never kill training
+        log.warning("sample logging failed: %s", e)
+
+
+if __name__ == "__main__":
+    main()

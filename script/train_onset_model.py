@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Onset model train/test CLI (reference script/train_onset_model.py UX).
+
+    python script/train_onset_model.py fit \
+        -c cfg/data/data-onset-greatesthit.yaml \
+        -c cfg/model/model-onset.yaml \
+        -c cfg/trainer/trainer-onset.yaml
+    python script/train_onset_model.py test -c CONFIG --ckpt_path DIR
+
+The subcommand+repeated-``-c`` interface mirrors LightningCLI; configs are
+the ``class_path``-free trees under cfg/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+import yaml
+
+from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
+from syncfusion_tpu.core.config import Config, merge, to_plain
+from syncfusion_tpu.core.logging import MetricLogger, get_logger
+from syncfusion_tpu.core.mesh import mesh_for_batch, shard_batch
+from syncfusion_tpu.data.onset_dataset import GreatestHitsDataset, loader
+from syncfusion_tpu.data.transforms import FrameTransform
+from syncfusion_tpu.eval.onset_annotations import (
+    concat_annotations,
+    write_chunk_annotations,
+)
+from syncfusion_tpu.train.diffusion_trainer import OptimizerConfig
+from syncfusion_tpu.train.onset_trainer import OnsetTrainer, bc_loss, onset_metrics
+
+log = get_logger("train_onset")
+
+
+def parse_args(argv):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("subcommand", choices=["fit", "test", "validate"])
+    ap.add_argument("-c", "--config", action="append", default=[])
+    ap.add_argument("--ckpt_path", default=None)
+    return ap.parse_args(argv)
+
+
+def load_cfgs(paths) -> Config:
+    cfg = Config()
+    for p in paths:
+        with open(p) as f:
+            cfg = merge(cfg, Config.wrap(yaml.safe_load(f)))
+    return cfg
+
+
+def make_dataset(cfg, split: str, augment_override=None) -> GreatestHitsDataset:
+    d = cfg.data
+    augment = d.get("augment", False) if augment_override is None else augment_override
+    size = d.get("frame_size", 112)
+    return GreatestHitsDataset(
+        root_dir=d.root_dir,
+        split_file_path=d[f"{split}_split_file_path"],
+        chunk_length_in_seconds=d.get("chunk_length_in_seconds", 2.0),
+        frames_transforms=FrameTransform(
+            augment=augment, size=size, resize_to=round(size * 128 / 112)
+        ),
+        data_to_use=d.get(f"{split}_data_to_use", 1.0),
+    )
+
+
+def evaluate(trainer, state, dataset, cfg, mesh, annotations_dir=None):
+    losses, all_metrics = [], []
+    n_data = mesh.shape["data"]
+    for batch in loader(dataset, cfg.data.batch_size, num_workers=cfg.data.num_workers):
+        n = batch["frames"].shape[0]
+        if n % n_data == 0:
+            logits = np.asarray(trainer.forward(state, shard_batch(batch["frames"], mesh)))
+        else:  # ragged final batch: pad to the data axis, drop padding rows
+            pad = ((0, -n % n_data),) + ((0, 0),) * (batch["frames"].ndim - 1)
+            frames = np.pad(batch["frames"], pad)
+            logits = np.asarray(trainer.forward(state, shard_batch(frames, mesh)))[:n]
+        losses.append(float(bc_loss(logits, batch["label"])))
+        all_metrics.append(onset_metrics(logits, batch["label"]))
+        if annotations_dir is not None:
+            write_chunk_annotations(annotations_dir, batch, logits)
+    agg = {k: float(np.nanmean([m[k] for m in all_metrics])) for k in all_metrics[0]}
+    agg["loss"] = float(np.mean(losses))
+    return agg
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    cfg = load_cfgs(args.config)
+    run_dir = Path(cfg.trainer.get("logs_dir", "logs/onset")) / time.strftime(
+        "%Y-%m-%d-%H-%M-%S"
+    )
+    metrics_logger = MetricLogger(run_dir)
+    (run_dir / "config.yaml").write_text(yaml.safe_dump(to_plain(cfg)))
+
+    from syncfusion_tpu.models.onset_net import VideoOnsetNet
+
+    mesh = mesh_for_batch(cfg.data.batch_size)
+    trainer = OnsetTrainer(
+        model=VideoOnsetNet(layers=tuple(cfg.model.get("layers", (2, 2, 2, 2)))),
+        opt_cfg=OptimizerConfig(
+            lr=cfg.model.lr, lr_beta1=cfg.model.lr_beta1,
+            lr_beta2=cfg.model.lr_beta2, lr_eps=cfg.model.lr_eps,
+            lr_weight_decay=cfg.model.lr_weight_decay,
+            gradient_clip_val=1e9, accumulate_grad_batches=1,
+        ),
+        mesh=mesh,
+    )
+    frame_size = cfg.data.get("frame_size", 112)
+    n_frames = int(cfg.data.get("chunk_length_in_seconds", 2.0) * cfg.data.get("fps", 15))
+    state = trainer.init(
+        jax.random.key(cfg.trainer.get("seed", 12345)),
+        frames_shape=(1, n_frames, frame_size, frame_size, 3),
+    )
+    if cfg.model.get("pretrained") and cfg.model.get("pretrained_path"):
+        from syncfusion_tpu.core.checkpoint import load_torch_state_dict
+        from syncfusion_tpu.models.onset_net import convert_torch_r2plus1d
+
+        tree = convert_torch_r2plus1d(load_torch_state_dict(cfg.model.pretrained_path))
+        state.params["backbone"] = tree["params"]["backbone"]
+        state.batch_stats["backbone"] = tree["batch_stats"]["backbone"]
+        log.info("loaded Kinetics init from %s", cfg.model.pretrained_path)
+
+    ckpt = Checkpointer(CheckpointConfig(
+        directory=run_dir / "ckpts", monitor="loss/val", save_top_k=1, save_last=True
+    ))
+    if args.ckpt_path:
+        state = Checkpointer(
+            CheckpointConfig(directory=args.ckpt_path)
+        ).restore(state)
+        log.info("restored checkpoint from %s", args.ckpt_path)
+
+    if args.subcommand in ("test", "validate"):
+        split = "test" if args.subcommand == "test" else "val"
+        dataset = make_dataset(cfg, split, augment_override=False)
+        ann_dir = run_dir / "media/annotations" if split == "test" else None
+        agg = evaluate(trainer, state, dataset, cfg, mesh, annotations_dir=ann_dir)
+        if ann_dir is not None:
+            concat_annotations(ann_dir)
+        metrics_logger.log({f"{k}/{split}": v for k, v in agg.items()})
+        print({f"{k}/{split}": round(v, 4) for k, v in agg.items()})
+        return
+
+    train_ds = make_dataset(cfg, "train")
+    val_ds = make_dataset(cfg, "val", augment_override=False)
+    train_ds.print()
+    step = 0
+    for epoch in range(cfg.trainer.get("max_epochs", 100)):
+        for batch in loader(train_ds, cfg.data.batch_size, shuffle=True,
+                            drop_last=True, num_workers=cfg.data.num_workers,
+                            seed=epoch):
+            b = shard_batch({"frames": batch["frames"], "label": batch["label"]}, mesh)
+            state, metrics, logits = trainer.train_step(state, b)
+            step += 1
+            if step % cfg.trainer.get("log_every_n_steps", 10) == 0:
+                host_metrics = onset_metrics(np.asarray(logits), batch["label"])
+                host_metrics["loss/train"] = float(metrics["loss/train"])
+                metrics_logger.log(host_metrics, step=step)
+        if (epoch + 1) % cfg.trainer.get("check_val_every_n_epoch", 5) == 0:
+            agg = evaluate(trainer, state, val_ds, cfg, mesh)
+            metrics_logger.log({f"{k}/val": v for k, v in agg.items()}, step=step)
+            ckpt.save(step, state, {"loss/val": agg["loss"]})
+            log.info("epoch %d val %s", epoch, agg)
+    ckpt.wait()
+
+
+if __name__ == "__main__":
+    main()

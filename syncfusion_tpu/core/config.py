@@ -30,7 +30,16 @@ from typing import Any, Iterable, Mapping, MutableMapping, Optional
 
 import yaml
 
-__all__ = ["Config", "load_config", "instantiate", "merge", "resolve"]
+__all__ = ["Config", "load_config", "instantiate", "merge", "resolve", "to_plain"]
+
+
+def to_plain(obj: Any) -> Any:
+    """Recursively convert Config trees to plain dict/list for yaml dumping."""
+    if isinstance(obj, Mapping):
+        return {k: to_plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [to_plain(v) for v in obj]
+    return obj
 
 
 class Config(dict):

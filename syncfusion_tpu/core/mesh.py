@@ -68,6 +68,17 @@ def create_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_for_batch(batch_size: int, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh whose data axis is the largest divisor of ``batch_size`` that
+    fits the device count (so small-batch runs still work on big meshes —
+    surplus devices are simply left out, matching the reference's
+    single-GPU-by-default behavior)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    data = next(d for d in range(min(n, batch_size), 0, -1) if batch_size % d == 0)
+    return create_mesh(MeshSpec(data=data, model=1), devices=devices[:data])
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard leading (batch) dim over ``data``; replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

@@ -41,13 +41,22 @@ def frechet_distance(
 ) -> float:
     """FID formula: |mu1-mu2|² + Tr(S1 + S2 − 2·sqrt(S1·S2))."""
     diff = mu1 - mu2
-    covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
+    try:
+        covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
+    except Exception:
+        covmean = None
+    if covmean is None or not np.isfinite(covmean).all():
+        # rank-deficient covariances (few samples): standard eps·I offset
+        eps = 1e-6 * np.eye(sigma1.shape[0])
+        covmean = scipy.linalg.sqrtm((sigma1 + eps) @ (sigma2 + eps))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
 
 
 def gaussian_stats(embeddings: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if embeddings.shape[0] == 0:
+        raise ValueError("no embeddings — audio too short or directory empty")
     mu = embeddings.mean(axis=0)
     sigma = np.cov(embeddings, rowvar=False)
     return mu, np.atleast_2d(sigma)
@@ -68,9 +77,11 @@ def vggish_log_mel(y: np.ndarray, sr: int) -> np.ndarray:
     """(T,) audio → (num_patches, 96, 64) log-mel examples."""
     if sr != VGGISH_SR:
         y = resample(y, sr, VGGISH_SR)
-    n_frames = 1 + (len(y) - _WIN) // _HOP if len(y) >= _WIN else 0
-    if n_frames < 1:
-        return np.zeros((0, _PATCH, _N_MELS), np.float32)
+    min_len = _WIN + (_PATCH - 1) * _HOP  # one full 0.96 s patch
+    if len(y) < min_len:  # repeat-pad short clips so every file contributes
+        reps = int(np.ceil(min_len / max(len(y), 1)))
+        y = np.tile(y, reps)[:min_len]
+    n_frames = 1 + (len(y) - _WIN) // _HOP
     idx = np.arange(n_frames)[:, None] * _HOP + np.arange(_WIN)[None, :]
     window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(_WIN) / _WIN)
     spec = np.abs(np.fft.rfft(y[idx] * window, n=512, axis=-1))

@@ -131,13 +131,18 @@ class R2Plus1D18KeepTemp(nn.Module):
 
 
 class VideoOnsetNet(nn.Module):
-    """Full onset net: (B, T, H, W, 3) → per-frame logits (B, T)."""
+    """Full onset net: (B, T, H, W, 3) → per-frame logits (B, T).
 
+    ``layers`` controls blocks per stage ((2,2,2,2) = the reference's
+    R(2+1)D-18; (1,1,1,1) gives a lighter R(2+1)D-10 variant)."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        feats = R2Plus1D18KeepTemp(dtype=self.dtype, name="backbone")(x, train)
+        feats = R2Plus1D18KeepTemp(layers=self.layers, dtype=self.dtype,
+                                   name="backbone")(x, train)
         h = nn.Dense(128, name="fc1")(feats)
         h = nn.relu(h)
         h = nn.Dense(1, name="fc2")(h)

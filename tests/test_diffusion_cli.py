@@ -1,0 +1,128 @@
+"""End-to-end diffusion CLI smoke tests on a synthetic shard, tiny model."""
+
+import io
+import json
+import sys
+import tarfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "script"))
+
+from syncfusion_tpu.ops.wav import write_wav
+
+SR = 8000
+L = 2048  # chunk
+
+TINY_MODEL = [
+    "model.model.channels=[4,8,16]",
+    "model.model.factors=[1,4,4]",
+    "model.model.items=[1,1,1]",
+    "model.model.attentions=[0,0,1]",
+    "model.model.cross_attentions=[1,1,1]",
+    "model.model.context_channels=[2,8,16]",
+    "model.model.attention_heads=2",
+    "model.model.attention_features=4",
+    "model.model.embedding_features=8",
+    "model.onsets_encoder.multipliers=[1,1,4,8]",
+    "model.onsets_encoder.factors=[1,4,4]",
+    "model.onsets_encoder.num_blocks=[1,1,1]",
+    "model.embedder=null",
+]
+TINY_OVERRIDES = ["sampling_rate=8000", f"length={L}", *TINY_MODEL]
+
+
+def _make_shard(path, n_tracks=3, seconds=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    with tarfile.open(path, "w") as tf:
+        for i in range(n_tracks):
+            name = f"vid_{i}"
+            wav = rng.normal(size=(1, int(SR * seconds))).astype(np.float32) * 0.1
+            tmp = Path(path).parent / "tmp.wav"
+            write_wav(tmp, wav, SR)
+            data = tmp.read_bytes()
+            tmp.unlink()
+            info = tarfile.TarInfo(f"{name}.resampled.wav")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            csv = b"0.05,hit wood\n0.6,hit metal\n"
+            info = tarfile.TarInfo(f"{name}.times.csv")
+            info.size = len(csv)
+            tf.addfile(info, io.BytesIO(csv))
+
+
+@pytest.mark.slow
+def test_train_diffusion_cli_smoke(tmp_path, monkeypatch):
+    import train_diffusion_model
+
+    shard = tmp_path / "train_shard_1.tar"
+    _make_shard(shard)
+    monkeypatch.setenv("DIR_LOGS", f"/{tmp_path.name}-logs")
+    logs = tmp_path / "logs"
+    train_diffusion_model.main([
+        "exp=train_diffusion_gh",
+        f"logs_dir={logs}",
+        f"datamodule.train_dataset.path={shard}",
+        f"datamodule.val_dataset.path={shard}",
+        "datamodule.batch_size=2",
+        "datamodule.shuffle_size=0",
+        "trainer.accumulate_grad_batches=1",
+        "max_steps=4",
+        "log_every_n_steps=2",
+        "trainer.val_check_interval=2",
+        "trainer.val_batches=1",
+        "trainer.log_every_n_steps=2",
+        "callbacks.audio_samples_logger.num_items=1",
+        "callbacks.audio_samples_logger.sampling_steps=[2]",
+        *TINY_OVERRIDES,
+    ])
+    runs = sorted((logs / "runs").iterdir())
+    assert runs
+    lines = (runs[-1] / "metrics.jsonl").read_text().splitlines()
+    records = [json.loads(l) for l in lines]
+    assert any("train_loss" in r for r in records)
+    assert any("valid_loss" in r for r in records)
+    assert list((runs[-1] / "ckpts").iterdir()), "checkpoint written"
+    # SampleLogger equivalent wrote audio artifacts
+    assert list((runs[-1] / "media").glob("*.wav"))
+
+
+@pytest.mark.slow
+def test_generate_and_fad_cli_smoke(tmp_path):
+    import evaluate_diffusion
+
+    shard = tmp_path / "test_shard_1.tar"
+    _make_shard(shard)
+    gt = tmp_path / "gh-gt"
+    gen = tmp_path / "gh-gen"
+
+    evaluate_diffusion.main([
+        "exp=prepare_gh_gt",
+        f"dataset_path={shard}",
+        f"experiment_path={gt}",
+        "sample_rate=8000",
+        f"length={L}",
+        "experiment.downsample_rate=4000",
+        "experiment.batch_size=2",
+    ])
+    assert len(list(gt.glob("*.wav"))) == 3
+
+    evaluate_diffusion.main([
+        "exp=evaluate_gh_gen",
+        f"work_dir={tmp_path}",
+        f"experiment_path={gen}",
+        f"experiment.dataset.path={shard}",
+        f"evaluation.gt_dir={gt}",
+        "sample_rate=8000",
+        f"gen_length={L}",
+        "cut_length=1024",
+        "experiment.num_steps=2",
+        "experiment.batch_size=2",
+        "experiment.downsample_rate=4000",
+        *TINY_MODEL,
+    ])
+    assert len(list(gen.glob("*.wav"))) == 3
+    metrics = (gen / "metrics.csv").read_text()
+    assert "fad" in metrics
