@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""CondFoleyGen baseline generation on the GH test set
+(reference CondFoleyGen/audio_generation.py --gh_testset).
+
+    python script/generate_audio.py --gh_testset --config CONFIG \
+        --transformer_ckpt_path DIR [--vq_ckpt DIR] [--W_scale 1] \
+        --output_dir output/condfoleygen [--melgan_ckpt best_netG.pt]
+
+Pipeline per item (p_outside_cond=1.0 — cond video ≠ ref video): frames →
+R(2+1)D features, cond audio → mel → VQ tokens, autoregressive GPT sampling
+(top n_e/2 multinomial), decode tokens → mel → MelGAN (or Griffin-Lim) → wav.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
+from syncfusion_tpu.core.config import Config
+from syncfusion_tpu.core.logging import get_logger
+from syncfusion_tpu.data.baseline_dataset import (
+    CondGreatestHitsWaveCondOnImage,
+    baseline_loader,
+)
+from syncfusion_tpu.models.melgan import Vocoder
+from syncfusion_tpu.models.vqgan.model import wav_to_spec
+from syncfusion_tpu.ops.mel import specvqgan_unscale
+from syncfusion_tpu.ops.stft import griffin_lim
+from syncfusion_tpu.ops.wav import write_wav
+
+log = get_logger("generate_audio")
+
+
+def main(argv=None) -> None:
+    from train_transformer import build_model
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gh_testset", action="store_true")
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--transformer_ckpt_path", default=None)
+    ap.add_argument("--vq_ckpt", default=None)
+    ap.add_argument("--melgan_ckpt", default=None)
+    ap.add_argument("--output_dir", default="output/condfoleygen")
+    ap.add_argument("--W_scale", type=int, default=1)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--top_k", type=int, default=512)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--data_to_use", type=float, default=1.0)
+    args = ap.parse_args(argv)
+
+    cfg = Config.wrap(yaml.safe_load(open(args.config)))
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), n_frames=cfg.get("n_frames", 60))
+
+    if args.vq_ckpt:
+        from syncfusion_tpu.train.vqgan_trainer import VQGANTrainer
+
+        vq_state = Checkpointer(CheckpointConfig(directory=args.vq_ckpt)).restore(
+            VQGANTrainer().init(jax.random.key(0)))
+        params["vq"] = vq_state.params
+    if args.transformer_ckpt_path:
+        from syncfusion_tpu.train.transformer_trainer import TransformerTrainer
+
+        t_state = Checkpointer(
+            CheckpointConfig(directory=args.transformer_ckpt_path)
+        ).restore(TransformerTrainer(model).create_state(params))
+        params["gpt"] = t_state.gpt_params
+    else:
+        log.warning("no transformer checkpoint — sampling with random weights")
+
+    vocoder = Vocoder(args.melgan_ckpt) if args.melgan_ckpt else None
+
+    d = cfg.data
+    ds = CondGreatestHitsWaveCondOnImage(
+        d.root_dir, d.test_split_file_path, data_to_use=args.data_to_use,
+        chunk_length_in_seconds=d.get("chunk_length_in_seconds", 2.0),
+        sample_rate=d.get("sample_rate", 22050), rand_shift=False,
+        p_outside_cond=1.0, frame_size=d.get("frame_size", 112),
+    )
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    to_spec = jax.jit(lambda w: wav_to_spec(w)[..., None])
+
+    @jax.jit
+    def sample_batch(params, cond_spec, frames, key):
+        grid = model.sample(params, cond_spec, frames, key,
+                            temperature=args.temperature, top_k=args.top_k)
+        spec01 = (model.decode_grid(params, grid)[..., 0] + 1.0) / 2.0
+        return spec01  # (B, 80, 160) in [0,1]
+
+    rng = jax.random.key(int(time.time()))
+    idx = 0
+    for batch in baseline_loader(ds, args.batch_size):
+        rng, sub = jax.random.split(rng)
+        cond_spec = to_spec(jnp.asarray(batch["cond_image"]))
+        spec01 = np.asarray(
+            sample_batch(params, cond_spec, jnp.asarray(batch["feature"]), sub)
+        )
+        if vocoder is not None:
+            wavs = vocoder(spec01)
+        else:  # Griffin-Lim through the exact inverse scaling chain
+            mel = specvqgan_unscale(jnp.asarray(spec01))
+            # crude mel→linear pseudo-inverse for GL (capability fallback)
+            from syncfusion_tpu.ops.mel import mel_filterbank
+
+            fb = np.asarray(mel_filterbank(22050, 1024, 80, 125, 7600,
+                                           scale="htk", norm="slaney"))
+            lin = jnp.einsum("mf,bmt->bft", jnp.asarray(np.linalg.pinv(fb).T), mel)
+            wavs = np.asarray(griffin_lim(jnp.maximum(lin, 0.0), 1024, 256, n_iter=32))
+        for i in range(wavs.shape[0]):
+            name = Path(batch["file_path_wav_"][i]).name
+            cname = Path(batch["file_path_cond_wav_"][i]).name
+            write_wav(out / f"{cname}_to_{name}_{idx}.wav", wavs[i], 22050)
+            idx += 1
+        log.info("generated %d clips", idx)
+
+
+if __name__ == "__main__":
+    main()

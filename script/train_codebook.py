@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""SpecVQGAN codebook training (reference CondFoleyGen/script/train-codebook.py).
+
+    python script/train_codebook.py -c CondFoleyGen/config/greatesthit_codebook.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
+from syncfusion_tpu.core.config import Config
+from syncfusion_tpu.core.logging import MetricLogger, get_logger
+from syncfusion_tpu.data.baseline_dataset import GreatestHitsWaveDataset, baseline_loader
+from syncfusion_tpu.models.vqgan.model import VQModel, wav_to_spec
+from syncfusion_tpu.train.vqgan_trainer import VQGANLossConfig, VQGANTrainer
+
+log = get_logger("train_codebook")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--ckpt_path", default=None)
+    args = ap.parse_args(argv)
+    cfg = Config.wrap(yaml.safe_load(open(args.config)))
+
+    m = cfg.model
+    dd = m.get("ddconfig", Config())
+    loss_cfg = m.get("lossconfig", Config())
+    model = VQModel(
+        embed_dim=m.get("embed_dim", 256), n_embed=m.get("n_embed", 1024),
+        ch=dd.get("ch", 128), ch_mult=tuple(dd.get("ch_mult", (1, 1, 2, 2, 4))),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+        attn_resolutions=tuple(dd.get("attn_resolutions", (10,))),
+        resolution=dd.get("resolution", 160), z_channels=dd.get("z_channels", 256),
+    )
+    trainer = VQGANTrainer(
+        model,
+        VQGANLossConfig(
+            disc_start=loss_cfg.get("disc_start", 30001),
+            disc_weight=loss_cfg.get("disc_weight", 0.8),
+            codebook_weight=loss_cfg.get("codebook_weight", 1.0),
+            perceptual_weight=loss_cfg.get("perceptual_weight", 1.0),
+            min_adapt_weight=loss_cfg.get("min_adapt_weight", 1.0),
+            max_adapt_weight=loss_cfg.get("max_adapt_weight", 1.0),
+        ),
+        learning_rate=m.get("learning_rate", 4.5e-6),
+    )
+    spec_h = dd.get("mel_num", 80)
+    spec_w = dd.get("spec_crop_len", 160)
+    state = trainer.init(jax.random.key(cfg.get("seed", 0)),
+                         spec_shape=(1, spec_h, spec_w, 1))
+    run_dir = Path(cfg.get("logs_dir", "logs/specvqgan")) / time.strftime("%Y-%m-%d-%H-%M-%S")
+    metrics_logger = MetricLogger(run_dir)
+    ckpt = Checkpointer(CheckpointConfig(directory=run_dir / "ckpts",
+                                         monitor="val/rec_loss", save_top_k=1,
+                                         save_last=True))
+    if args.ckpt_path:
+        state = Checkpointer(CheckpointConfig(directory=args.ckpt_path)).restore(state)
+
+    d = cfg.data
+    train_ds = GreatestHitsWaveDataset(
+        d.root_dir, d.train_split_file_path,
+        data_to_use=d.get("train_data_to_use", 1.0),
+        chunk_length_in_seconds=d.get("chunk_length_in_seconds", 2.0),
+        sample_rate=d.get("sample_rate", 22050),
+        rand_shift=d.get("rand_shift", True),
+    )
+    val_ds = GreatestHitsWaveDataset(
+        d.root_dir, d.val_split_file_path,
+        data_to_use=d.get("val_data_to_use", 1.0),
+        chunk_length_in_seconds=d.get("chunk_length_in_seconds", 2.0),
+        sample_rate=d.get("sample_rate", 22050), rand_shift=False,
+    )
+    train_ds.print()
+
+    to_spec = jax.jit(lambda w: wav_to_spec(w)[..., None])
+    step = 0
+    for epoch in range(cfg.trainer.get("max_epochs", 1000)):
+        for batch in baseline_loader(train_ds, d.batch_size, shuffle=True,
+                                     drop_last=True, seed=epoch):
+            spec = to_spec(jnp.asarray(batch["image"]))
+            state, metrics = trainer.train_step(state, spec)
+            step += 1
+            if step % 50 == 0:
+                metrics_logger.log({k: float(v) for k, v in metrics.items()}, step=step)
+        # validation + checkpoint each epoch
+        vals = []
+        for batch in baseline_loader(val_ds, d.batch_size, drop_last=True):
+            vals.append(trainer.eval_step(state, to_spec(jnp.asarray(batch["image"]))))
+        if vals:
+            rec = float(np.mean([float(v["val/rec_loss"]) for v in vals]))
+            metrics_logger.log({"val/rec_loss": rec}, step=step)
+            ckpt.save(step, state, {"val/rec_loss": rec})
+            log.info("epoch %d val/rec_loss %.4f", epoch, rec)
+    ckpt.wait()
+
+
+if __name__ == "__main__":
+    main()

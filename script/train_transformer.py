@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""CondFoleyGen stage-2 transformer training
+(reference CondFoleyGen/script/train-transformer.py).
+
+    python script/train_transformer.py -c CONFIG --vq_ckpt DIR [--ckpt_path DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
+from syncfusion_tpu.core.config import Config
+from syncfusion_tpu.core.logging import MetricLogger, get_logger
+from syncfusion_tpu.data.baseline_dataset import (
+    CondGreatestHitsWaveCondOnImage,
+    baseline_loader,
+)
+from syncfusion_tpu.models.mingpt import GPTConfig, GPTFeats
+from syncfusion_tpu.models.transformer_av import AVCondTransformer
+from syncfusion_tpu.models.vqgan.model import SpecVQGAN, VQModel, wav_to_spec
+from syncfusion_tpu.train.transformer_trainer import TransformerTrainer
+
+log = get_logger("train_transformer")
+
+
+def build_model(cfg) -> AVCondTransformer:
+    t = cfg.get("transformer", Config())
+    gpt = GPTFeats(GPTConfig(
+        vocab_size=t.get("vocab_size", 1024), block_size=t.get("block_size", 160),
+        n_layer=t.get("n_layer", 24), n_head=t.get("n_head", 16),
+        n_embd=t.get("n_embd", 1024),
+    ))
+    return AVCondTransformer(first_stage=SpecVQGAN(VQModel()), gpt=gpt,
+                             pkeep=cfg.get("pkeep", 1.0))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--vq_ckpt", default=None, help="trained codebook run dir")
+    ap.add_argument("--ckpt_path", default=None)
+    args = ap.parse_args(argv)
+    cfg = Config.wrap(yaml.safe_load(open(args.config)))
+
+    model = build_model(cfg)
+    params = model.init(jax.random.key(cfg.get("seed", 0)),
+                        n_frames=cfg.get("n_frames", 60))
+    if args.vq_ckpt:  # load the frozen first stage from a codebook run
+        from syncfusion_tpu.train.vqgan_trainer import VQGANTrainer
+
+        vq_trainer = VQGANTrainer()
+        vq_state = Checkpointer(
+            CheckpointConfig(directory=args.vq_ckpt)
+        ).restore(vq_trainer.init(jax.random.key(0)))
+        params["vq"] = vq_state.params
+        log.info("loaded frozen VQGAN from %s", args.vq_ckpt)
+
+    trainer = TransformerTrainer(
+        model,
+        learning_rate=cfg.get("learning_rate", 1e-4),
+        weight_decay=cfg.get("weight_decay", 0.01),
+    )
+    state = trainer.create_state(params)
+    frozen = {"vq": params["vq"], "video": params["video"]}
+
+    run_dir = Path(cfg.get("logs_dir", "logs/transformer")) / time.strftime(
+        "%Y-%m-%d-%H-%M-%S")
+    metrics_logger = MetricLogger(run_dir)
+    ckpt = Checkpointer(CheckpointConfig(directory=run_dir / "ckpts",
+                                         monitor="val/loss", save_top_k=1,
+                                         save_last=True))
+    if args.ckpt_path:
+        state = Checkpointer(CheckpointConfig(directory=args.ckpt_path)).restore(state)
+
+    d = cfg.data
+    mk = lambda split, shift: CondGreatestHitsWaveCondOnImage(
+        d.root_dir, d[f"{split}_split_file_path"],
+        data_to_use=d.get(f"{split}_data_to_use", 1.0),
+        chunk_length_in_seconds=d.get("chunk_length_in_seconds", 2.0),
+        sample_rate=d.get("sample_rate", 22050),
+        rand_shift=shift, p_outside_cond=d.get("p_outside_cond", 0.0),
+        frame_size=d.get("frame_size", 112),
+    )
+    train_ds, val_ds = mk("train", True), mk("val", False)
+    train_ds.print()
+
+    to_spec = jax.jit(lambda w: wav_to_spec(w)[..., None])
+    rng = jax.random.key(cfg.get("seed", 0))
+    step = 0
+    for epoch in range(cfg.trainer.get("max_epochs", 100) if "trainer" in cfg else 100):
+        for batch in baseline_loader(train_ds, d.batch_size, shuffle=True,
+                                     drop_last=True, seed=epoch):
+            rng, sub = jax.random.split(rng)
+            jb = {
+                "spec": to_spec(jnp.asarray(batch["image"])),
+                "cond_spec": to_spec(jnp.asarray(batch["cond_image"])),
+                "frames": jnp.asarray(batch["feature"]),
+            }
+            state, metrics = trainer.train_step(state, frozen, jb, sub)
+            step += 1
+            if step % 50 == 0:
+                metrics_logger.log({k: float(v) for k, v in metrics.items()}, step=step)
+        vals = []
+        for batch in baseline_loader(val_ds, d.batch_size, drop_last=True):
+            jb = {
+                "spec": to_spec(jnp.asarray(batch["image"])),
+                "cond_spec": to_spec(jnp.asarray(batch["cond_image"])),
+                "frames": jnp.asarray(batch["feature"]),
+            }
+            vals.append(float(trainer.eval_step(state, frozen, jb)["val/loss"]))
+        if vals:
+            v = float(np.mean(vals))
+            metrics_logger.log({"val/loss": v}, step=step)
+            ckpt.save(step, state, {"val/loss": v})
+            log.info("epoch %d val/loss %.4f", epoch, v)
+    ckpt.wait()
+
+
+if __name__ == "__main__":
+    main()
