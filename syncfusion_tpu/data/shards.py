@@ -49,16 +49,44 @@ def shard_for_process(shards: Sequence[str], process_index: int, process_count: 
     return [s for i, s in enumerate(shards) if i % process_count == process_index]
 
 
+def _iter_members_python(shard: str) -> Iterator[tuple[str, bytes]]:
+    with tarfile.open(shard, mode="r|*") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            fileobj = tf.extractfile(member)
+            if fileobj is not None:
+                yield member.name, fileobj.read()
+
+
+def _iter_members(shard: str, native: Optional[bool]) -> Iterator[tuple[str, bytes]]:
+    if native is not False:
+        try:
+            from syncfusion_tpu.data import native as native_io
+
+            if native_io.available():
+                yield from native_io.iter_tar_members(shard)
+                return
+        except Exception:
+            if native:  # explicitly requested
+                raise
+    yield from _iter_members_python(shard)
+
+
 def iter_tar_samples(
     shards: str | Sequence[str],
     shardshuffle: bool = False,
     seed: int = 0,
+    native: Optional[bool] = None,
 ) -> Iterator[dict]:
     """Yield ``{"__key__": key, suffix: bytes, ...}`` grouped by sample key.
 
     Keys follow webdataset rules: the member name up to the first dot is the
     key; everything after is the suffix (so ``a/b.times.csv`` → key ``a/b``,
     suffix ``times.csv``).
+
+    Uses the native C++ reader (csrc/sfx_io.cpp) when available; ``native``
+    forces (True) or disables (False) it.
     """
     shard_list = expand_shards(shards)
     if shardshuffle:
@@ -66,26 +94,20 @@ def iter_tar_samples(
         random.Random(seed).shuffle(shard_list)
 
     for shard in shard_list:
-        with tarfile.open(shard, mode="r|*") as tf:
-            current_key: Optional[str] = None
-            sample: dict = {}
-            for member in tf:
-                if not member.isfile():
-                    continue
-                name = member.name
-                base = Path(name).name
-                stem = base.split(".", 1)[0]
-                key = str(Path(name).parent / stem) if "/" in name else stem
-                suffix = base.split(".", 1)[1] if "." in base else ""
-                if key != current_key:
-                    if sample:
-                        yield sample
-                    current_key, sample = key, {"__key__": key}
-                fileobj = tf.extractfile(member)
-                if fileobj is not None:
-                    sample[suffix] = fileobj.read()
-            if sample:
-                yield sample
+        current_key: Optional[str] = None
+        sample: dict = {}
+        for name, data in _iter_members(shard, native):
+            base = Path(name).name
+            stem = base.split(".", 1)[0]
+            key = str(Path(name).parent / stem) if "/" in name else stem
+            suffix = base.split(".", 1)[1] if "." in base else ""
+            if key != current_key:
+                if sample:
+                    yield sample
+                current_key, sample = key, {"__key__": key}
+            sample[suffix] = data
+        if sample:
+            yield sample
 
 
 def decode_wav_member(data: bytes) -> tuple[np.ndarray, int]:
