@@ -1,0 +1,1 @@
+python script/train_codebook.py -c cfg/condfoleygen/greatesthit_codebook.yaml

@@ -1,0 +1,72 @@
+"""Data-parallel batched sampling across a mesh — the serving path.
+
+The UNet (≈200M params) fits one v5e chip, so generation scales by pure DP:
+params replicated, each chip samples an independent slice of the clip batch
+(SURVEY §7.2 step 9).  XLA partitions the whole 150-step scan; no
+collectives are needed in steady state, so scaling is embarrassingly linear
+over ICI-connected chips — a v5e-8 runs 8× the single-chip bench number.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from syncfusion_tpu.core.mesh import DATA_AXIS, shard_batch
+from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+
+
+class DataParallelSampler:
+    """Compile-once batched sampler over a mesh.
+
+    ``per_chip_batch`` clips are generated per chip per call; callers feed
+    batches of ``per_chip_batch · n_chips`` onset tracks + embeddings.
+    """
+
+    def __init__(
+        self,
+        model: SyncFusionDiffusion,
+        mesh: Mesh,
+        num_steps: int = 150,
+        embedding_scale: float = 2.0,
+        per_chip_batch: int = 8,
+        length: int = 2**18,
+    ):
+        self.model = model
+        self.mesh = mesh
+        self.num_steps = num_steps
+        self.embedding_scale = embedding_scale
+        self.length = length
+        self.batch = per_chip_batch * mesh.shape[DATA_AXIS]
+
+        replicated = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P(DATA_AXIS))
+        self._sample = jax.jit(
+            lambda params, noise, onsets, emb: model.sample(
+                params, noise, onsets, emb,
+                num_steps=num_steps, embedding_scale=embedding_scale,
+            ),
+            in_shardings=(replicated, sharded, sharded, sharded),
+            out_shardings=sharded,
+        )
+
+    def __call__(
+        self,
+        params,
+        onsets: np.ndarray,
+        embedding: np.ndarray,
+        key: jax.Array,
+    ) -> np.ndarray:
+        """onsets (B, L, 1), embedding (B, 1, E) → waveforms (B, L)."""
+        assert onsets.shape[0] == self.batch, (
+            f"expected global batch {self.batch}, got {onsets.shape[0]}"
+        )
+        noise = jax.random.normal(key, (self.batch, self.length, 1))
+        noise = jax.device_put(noise, NamedSharding(self.mesh, P(DATA_AXIS)))
+        batch = shard_batch({"onsets": onsets, "embedding": embedding}, self.mesh)
+        out = self._sample(params, noise, batch["onsets"], batch["embedding"])
+        return np.asarray(out)[:, :, 0]
