@@ -101,7 +101,9 @@ def main(argv=None) -> None:
             vals.append(trainer.eval_step(state, to_spec(jnp.asarray(batch["image"]))))
         if vals:
             rec = float(np.mean([float(v["val/rec_loss"]) for v in vals]))
-            metrics_logger.log({"val/rec_loss": rec}, step=step)
+            usage = float(np.mean([float(v["val/codebook_usage"]) for v in vals]))
+            metrics_logger.log({"val/rec_loss": rec, "val/codebook_usage": usage},
+                               step=step)
             ckpt.save(step, state, {"val/rec_loss": rec})
             log.info("epoch %d val/rec_loss %.4f", epoch, rec)
     ckpt.wait()

@@ -96,6 +96,20 @@ def main(argv=None) -> None:
         ).restore(state)
         log.info("resumed from %s at step %d", cfg.ckpt, int(state.step))
 
+    if cfg.get("save"):
+        # SavePytorchModelAndStopCallback equivalent (reference
+        # main/utils.py:200-219 + train_diffusion_model.py:42-50): export one
+        # submodule's params as a standalone orbax checkpoint, then stop.
+        attr = cfg.save
+        key_map = {"model": "unet", "unet": "unet",
+                   "onsets_encoder": "encoder", "encoder": "encoder"}
+        sub = {key_map[attr]: state.params[key_map[attr]]}
+        export = Checkpointer(CheckpointConfig(directory=run_dir / f"export_{attr}"))
+        export.save(int(state.step), sub)
+        export.wait()
+        log.info("exported %s to %s and stopping", attr, run_dir / f"export_{attr}")
+        return
+
     train_fn = instantiate(cfg.datamodule.train_dataset)
     val_fn = instantiate(cfg.datamodule.val_dataset)
     rng = jax.random.key(cfg.seed + 1)

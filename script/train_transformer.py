@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
+from syncfusion_tpu.ops.augment import random_audio_augment
+
 from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
 from syncfusion_tpu.core.config import Config
 from syncfusion_tpu.core.logging import MetricLogger, get_logger
@@ -99,9 +101,17 @@ def main(argv=None) -> None:
     rng = jax.random.key(cfg.get("seed", 0))
     step = 0
     for epoch in range(cfg.trainer.get("max_epochs", 100) if "trainer" in cfg else 100):
+        aug_rng = np.random.default_rng(epoch)
+        p_aug = d.get("p_audio_aug", 0.5)
         for batch in baseline_loader(train_ds, d.batch_size, shuffle=True,
                                      drop_last=True, seed=epoch):
             rng, sub = jax.random.split(rng)
+            if p_aug > 0:  # reference train-time wav augment (NormalizeAudio+PitchShift)
+                sr = d.get("sample_rate", 22050)
+                batch["image"] = np.stack([
+                    random_audio_augment(w, sr, aug_rng, p=p_aug)
+                    for w in batch["image"]
+                ])
             jb = {
                 "spec": to_spec(jnp.asarray(batch["image"])),
                 "cond_spec": to_spec(jnp.asarray(batch["cond_image"])),

@@ -210,8 +210,15 @@ class VQGANTrainer:
 
     def _eval_step(self, state: VQGANTrainState, spec: jax.Array):
         xrec, qloss, info = self.model.apply(state.params, spec)
+        # codebook-usage histogram (reference VQModel codebook logging,
+        # vqgan.py:267-292): per-code counts + fraction of codes in use
+        counts = jnp.bincount(
+            info["indices"].reshape(-1), length=self.model.n_embed
+        )
         return {
             "val/rec_loss": jnp.mean(jnp.abs(spec - xrec)),
             "val/quant_loss": qloss,
             "val/perplexity": info["perplexity"],
+            "val/codebook_usage": jnp.mean((counts > 0).astype(jnp.float32)),
+            "val/code_counts": counts,
         }
