@@ -106,6 +106,19 @@ def main(argv=None) -> None:
                                step=step)
             ckpt.save(step, state, {"val/rec_loss": rec})
             log.info("epoch %d val/rec_loss %.4f", epoch, rec)
+            # recon panel (ImageLogger equivalent)
+            from syncfusion_tpu.eval.panels import write_spec_panel
+
+            val_spec = to_spec(jnp.asarray(batch["image"]))  # last val batch
+            xrec, _, _ = jax.jit(lambda p, s: trainer.model.apply(p, s))(
+                state.params, val_spec
+            )
+            write_spec_panel(
+                run_dir / "media", "reconstructions",
+                {"inputs": np.asarray(val_spec[0, :, :, 0]),
+                 "reconstructions": np.asarray(xrec[0, :, :, 0])},
+                step=step,
+            )
     ckpt.wait()
 
 
