@@ -22,10 +22,15 @@ def main(argv=None) -> None:
     ap.add_argument("--tar_dir", required=True)
     ap.add_argument("--delta", type=float, default=0.1)
     ap.add_argument("--multi_delta", action="store_true",
-                    help="average over delta ∈ {0.05, 0.1, 0.15, 0.2}")
+                    help="average over delta ∈ arange(0.1, delta+0.05, 0.05) "
+                         "(reference evaluate_onset.py:175)")
     args = ap.parse_args(argv)
 
-    deltas = (0.05, 0.1, 0.15, 0.2) if args.multi_delta else None
+    import numpy as np
+
+    deltas = (
+        list(np.arange(0.1, args.delta + 0.05, 0.05)) if args.multi_delta else None
+    )
     metrics = evaluate_onset_dirs(args.gen_dir, args.tar_dir,
                                   delta=args.delta, deltas=deltas)
     print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))

@@ -63,6 +63,8 @@ def match_onsets(
 
     conf = [_confidence(wav_abs, o) for o in pred_onsets]
     kept = onset_nms(pred_onsets, conf, sr=sr)
+    # count-match is on RAW detections, before NMS (evaluate_onset.py:173)
+    raw_count_match = len(pred_onsets) == len(gt_onsets)
 
     on_use = list(kept.tolist())
     hit = 0
@@ -95,7 +97,7 @@ def match_onsets(
         "acc": acc,
         "y_true": y_true,
         "y_score": y_score,
-        "count_match": len(kept) == len(gt_onsets),
+        "count_match": raw_count_match,
     }
 
 
@@ -137,6 +139,11 @@ def evaluate_onset_dirs(
             gname, tname = (entry, entry) if isinstance(entry, str) else entry
             g_wav, g_on = gen[gname]
             _, t_on = tar[tname]
+            if len(t_on) == 0 or len(g_on) == 0:
+                # reference: zero-onset files score 0 (evaluate_onset.py:165-168)
+                file_accs.append(0.0)
+                file_matches.append(False)
+                continue
             res = match_onsets(t_on, g_on, g_wav, delta=d)
             file_accs.append(res["acc"])
             file_matches.append(res["count_match"])
