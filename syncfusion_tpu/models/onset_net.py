@@ -52,8 +52,11 @@ class Conv2Plus1D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # explicit torch-style symmetric padding: XLA SAME pads
+        # asymmetrically under stride>1, which would shift imported weights
         x = nn.Conv(
             self.mid_planes, (1, 3, 3), strides=(1, self.stride, self.stride),
+            padding=((0, 0), (1, 1), (1, 1)),
             use_bias=False, dtype=self.dtype, name="spatial",
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -61,6 +64,7 @@ class Conv2Plus1D(nn.Module):
         x = nn.relu(x)
         x = nn.Conv(
             self.out_planes, (3, 1, 1), strides=(1, 1, 1),
+            padding=((1, 1), (0, 0), (0, 0)),
             use_bias=False, dtype=self.dtype, name="temporal",
         )(x)
         return x
@@ -91,7 +95,8 @@ class BasicBlock(nn.Module):
         if self.stride != 1 or in_planes != self.planes:
             residual = nn.Conv(
                 self.planes, (1, 1, 1), strides=(1, self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="downsample_conv",
+                padding="VALID", use_bias=False, dtype=self.dtype,
+                name="downsample_conv",
             )(residual)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, name="downsample_bn")(residual)
@@ -107,13 +112,14 @@ class R2Plus1D18KeepTemp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # Stem (R2Plus1dStem, spatial stride 2)
-        x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2), use_bias=False,
+        x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2),
+                    padding=((0, 0), (3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, name="stem_spatial")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="stem_bn1")(x)
         x = nn.relu(x)
-        x = nn.Conv(64, (3, 1, 1), use_bias=False, dtype=self.dtype,
-                    name="stem_temporal")(x)
+        x = nn.Conv(64, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                    use_bias=False, dtype=self.dtype, name="stem_temporal")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="stem_bn2")(x)
         x = nn.relu(x)
