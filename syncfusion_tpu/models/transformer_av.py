@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from syncfusion_tpu.models.mingpt import GPTConfig, GPTFeats, sample_tokens, top_k_filter
+from syncfusion_tpu.models.mingpt_decode import sample_tokens_cached
 from syncfusion_tpu.models.onset_net import R2Plus1D18KeepTemp
 from syncfusion_tpu.models.vqgan.model import SpecVQGAN, VQModel
 
@@ -127,10 +128,10 @@ class AVCondTransformer:
         """Generate ref tokens given cond audio + video → (B, 5, 10) grid."""
         zp = self.encode_to_z(params, cond_spec)[:, : self.clip]
         feats = self.encode_to_c(params, frames)
-        buf = sample_tokens(
-            lambda p, t, f: self.gpt.apply(p, t, f),
+        # KV-cached decode: O(T·L) vs the naive O(T²·L) re-forward loop
+        buf = sample_tokens_cached(
             params["gpt"], feats, zp, self.clip, key,
-            temperature=temperature, top_k=top_k,
+            config=self.gpt.config, temperature=temperature, top_k=top_k,
         )
         return column_major_inverse(buf[:, self.clip :])
 
@@ -177,10 +178,10 @@ class AVCondTransformer:
             if f_slice.shape[1] == 0:
                 f_slice = feats[:, -1:]
             key, sub = jax.random.split(key)
-            buf = sample_tokens(
-                lambda p, t, f: self.gpt.apply(p, t, f),
+            buf = sample_tokens_cached(
                 params["gpt"], jnp.asarray(f_slice), jnp.asarray(context),
-                n_cols * GRID_H, sub, temperature=temperature, top_k=top_k,
+                n_cols * GRID_H, sub, config=self.gpt.config,
+                temperature=temperature, top_k=top_k,
             )
             new = np.asarray(buf[:, context.shape[1] :])
             out_cols.append(new)
