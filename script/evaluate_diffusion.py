@@ -38,9 +38,9 @@ def load_params(model: SyncFusionDiffusion, model_path: str | None, length: int)
     p = Path(model_path)
     if p.suffix in (".ckpt", ".pt", ".pth"):
         raise NotImplementedError(
-            "direct torch-checkpoint loading for the diffusion model requires "
-            "the weight-mapping table (core/checkpoint.py convert_with_map); "
-            "export an orbax checkpoint instead"
+            "the diffusion UNet is a TPU-first re-design and cannot ingest "
+            "a-unet torch checkpoints (see docs/PARITY.md level 3); pass an "
+            "orbax run directory trained with script/train_diffusion_model.py"
         )
     from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
 

@@ -165,8 +165,6 @@ class AVCondTransformer:
         fpc = frames_per_col if frames_per_col else feats.shape[1] / (2 * total_cols)
         out_cols: list[np.ndarray] = []
         gen_seq = np.asarray(cond_grid).transpose(0, 2, 1).reshape(cond_grid.shape[0], -1)
-        ctx_cols = list(np.asarray(cond_grid).transpose(0, 2, 1))  # unused ref
-
         context = gen_seq[:, -window_cols * GRID_H :]
         produced = 0
         while produced < total_cols:

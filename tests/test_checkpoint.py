@@ -1,0 +1,55 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syncfusion_tpu.core.checkpoint import (
+    CheckpointConfig,
+    Checkpointer,
+    flatten,
+    unflatten,
+)
+
+
+def _state(v: float):
+    return {"params": {"w": jnp.full((4, 4), v)}, "step": jnp.asarray(int(v))}
+
+
+def test_save_restore_roundtrip(tmp_path):
+    ckpt = Checkpointer(CheckpointConfig(directory=tmp_path / "ck"))
+    state = _state(3.0)
+    ckpt.save(1, state, {"valid_loss": 0.5})
+    ckpt.wait()
+    restored = ckpt.restore(_state(0.0))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.full((4, 4), 3.0))
+    assert int(restored["step"]) == 3
+    ckpt.close()
+
+
+def test_best_k_tracking(tmp_path):
+    ckpt = Checkpointer(CheckpointConfig(
+        directory=tmp_path / "ck", monitor="valid_loss", save_top_k=1,
+        save_last=True,
+    ))
+    for step, loss in [(1, 0.9), (2, 0.3), (3, 0.7)]:
+        ckpt.save(step, _state(float(step)), {"valid_loss": loss})
+    ckpt.wait()
+    assert ckpt.best_step() == 2
+    assert ckpt.latest_step() == 3
+    best = ckpt.restore(_state(0.0), step=ckpt.best_step())
+    assert int(best["step"]) == 2
+    ckpt.close()
+
+
+def test_restore_missing_raises(tmp_path):
+    ckpt = Checkpointer(CheckpointConfig(directory=tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore(_state(0.0))
+    ckpt.close()
+
+
+def test_flatten_unflatten():
+    tree = {"a": {"b": 1, "c": {"d": 2}}, "e": 3}
+    flat = flatten(tree)
+    assert flat == {"a.b": 1, "a.c.d": 2, "e": 3}
+    assert unflatten(flat) == tree
