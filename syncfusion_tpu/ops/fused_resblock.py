@@ -1,0 +1,228 @@
+"""Pallas-fused GroupNorm→FiLM→SiLU→conv1d(k3) for the diffusion UNet.
+
+Why: XLA cost analysis shows the UNet denoise forward is HBM-bound (76% of
+bandwidth, 11% MXU) and the traffic concentrates in the shallow levels
+(262144×8ch, 65536×32ch) where every resnet block materializes the
+normalized/activated intermediate to HBM before the conv reads it back.
+This kernel computes the whole chain in VMEM: x is read once (plus a tiny
+2-row halo per tile), the conv output is the only write.
+
+Measured status on v5e (see README): the Pallas variant currently fails the
+remote Mosaic compiler on this image's tunnel (simple kernels and flash
+attention compile fine — the DMA-from-ANY pattern is the suspect) and is
+validated in interpret mode; the XLA ``folded_affine_silu_conv`` lane-folding
+variant wins 1.84× at C=64 shapes but loses at C≤32 because the fold/unfold
+reshapes relayout through HBM.  The round-2 plan is whole-level folded
+layout (fold once per level, all resnet ops in folded space) which removes
+the per-op relayouts.
+
+Division of labor: per-(batch, group) GN statistics are a cheap single
+reduction done in plain JAX (reads x once at full bandwidth); the kernel
+takes the resolved per-(batch, channel) affine (which folds GN gamma/beta,
+FiLM scale/shift, and the stats) and fuses normalize→SiLU→conv.
+
+Shapes: x (B, L, C), weight (3, C, Cout), per-batch affine (B, C) × 2.
+L must be divisible by ``block_l``; C and Cout ≤ 128 work best (the shallow
+levels), larger C still functions via multiple lane tiles.
+
+Training support: wrapped in ``jax.custom_vjp`` whose backward recomputes
+through the reference JAX implementation, so the op is usable everywhere
+and the kernel only has to be a forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_L = 4096
+
+
+def _make_kernel(block_l: int, c: int):
+    def kernel(x_hbm, scale_ref, shift_ref, w_ref, b_ref, o_ref):
+        """Grid (B, L/TL).  x stays in HBM (padded by 1 row each side); the
+        tile DMAs its (TL+2)-row halo window into VMEM — overlapping windows
+        can't be expressed as BlockSpecs (blocks stride by their size)."""
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def body(scratch, sem):
+            dma = pltpu.make_async_copy(
+                x_hbm.at[i, pl.ds(j * block_l, block_l + 2), :], scratch, sem
+            )
+            dma.start()
+            dma.wait()
+            x = scratch[...].astype(jnp.float32)            # (TL+2, C)
+            scale = scale_ref[0].astype(jnp.float32)        # (1, C)
+            shift = shift_ref[0].astype(jnp.float32)
+            h = x * scale + shift
+            h = h * jax.nn.sigmoid(h)                       # SiLU
+            # conv SAME zero-pads AFTER the activation: halo rows at the
+            # array boundary must be exactly 0, not silu(shift)
+            rows = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+            is_first = (j == 0) & (rows == 0)
+            is_last = (j == pl.num_programs(1) - 1) & (rows == h.shape[0] - 1)
+            h = jnp.where(is_first | is_last, 0.0, h)
+            tl = o_ref.shape[1]
+            w = w_ref[...].astype(jnp.float32)              # (3, C, Cout)
+            acc = jax.lax.dot_general(
+                h[0:tl], w[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc += jax.lax.dot_general(
+                h[1 : tl + 1], w[1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc += jax.lax.dot_general(
+                h[2 : tl + 2], w[2], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0] = (acc + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((block_l + 2, c), x_hbm.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+def _fused_forward(x, scale, shift, weight, bias, block_l, interpret):
+    b, l, c = x.shape
+    cout = weight.shape[-1]
+    assert l % block_l == 0, f"L={l} not divisible by block_l={block_l}"
+    # halo: pad L by 1 on each side so every window is in-bounds
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+
+    grid = (b, l // block_l)
+    return pl.pallas_call(
+        _make_kernel(block_l, c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manual halo DMA
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c, cout), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_l, cout), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, cout), x.dtype),
+        interpret=interpret,
+    )(xp, scale[:, None, :], shift[:, None, :], weight, bias[None])
+
+
+def _reference(x, scale, shift, weight, bias):
+    h = x.astype(jnp.float32) * scale[:, None, :] + shift[:, None, :]
+    h = jax.nn.silu(h)
+    y = jax.lax.conv_general_dilated(
+        h, weight.astype(jnp.float32), (1,), [(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    ) + bias
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_affine_silu_conv(x, scale, shift, weight, bias,
+                           block_l=DEFAULT_BLOCK_L, interpret=False):
+    """y = conv1d_k3(silu(x·scale + shift)) + bias, one HBM read of x.
+
+    ``scale``/``shift`` are per-(batch, channel) — the caller folds GN stats,
+    GN gamma/beta and FiLM into them (see :func:`fold_groupnorm_film`).
+    """
+    return _fused_forward(x, scale, shift, weight, bias, block_l, interpret)
+
+
+def _fwd(x, scale, shift, weight, bias, block_l, interpret):
+    y = _fused_forward(x, scale, shift, weight, bias, block_l, interpret)
+    return y, (x, scale, shift, weight, bias)
+
+
+def _bwd(block_l, interpret, res, g):
+    x, scale, shift, weight, bias = res
+    _, vjp = jax.vjp(lambda *a: _reference(*a), x, scale, shift, weight, bias)
+    return vjp(g.astype(jnp.float32))
+
+
+fused_affine_silu_conv.defvjp(_fwd, _bwd)
+
+
+def folded_affine_silu_conv(x, scale, shift, weight, bias, fold: int = 0):
+    """Lane-folded XLA implementation of the same op.
+
+    TPU arrays put the trailing dim on 128 lanes; the UNet's shallow levels
+    have C=8..32, so every elementwise op and conv wastes up to 16× the
+    bandwidth on lane padding.  Folding ``f`` consecutive time rows into the
+    channel dim ((B, L, C) → (B, L/f, f·C) with f·C ≥ 128) makes every
+    access dense, and the k=3 conv becomes three block-structured matmuls
+    against neighbor folded rows — f× more MXU FLOPs, which are free at 11%
+    MXU utilization.  Pure XLA, differentiable, no Pallas.
+    """
+    b, l, c = x.shape
+    cout = weight.shape[-1]
+    if fold <= 0:
+        fold = max(1, 128 // c)
+    if fold == 1 or l % fold:
+        return _reference(x, scale, shift, weight, bias)
+
+    f = fold
+    xv = x.reshape(b, l // f, f * c)
+    scale_v = jnp.tile(scale, (1, f))[:, None, :]   # (B, 1, f·C)
+    shift_v = jnp.tile(shift, (1, f))[:, None, :]
+    hv = jax.nn.silu(xv.astype(jnp.float32) * scale_v + shift_v).astype(x.dtype)
+
+    w = weight.astype(jnp.float32)  # (3, C, Cout): [dl=-1, 0, +1]
+    wc = jnp.zeros((f * c, f * cout), jnp.float32)
+    for k in range(f):              # output slot k within the folded row
+        for dl, kern in ((-1, w[0]), (0, w[1]), (1, w[2])):
+            kp = k + dl
+            if 0 <= kp < f:
+                wc = wc.at[kp * c : (kp + 1) * c, k * cout : (k + 1) * cout].set(kern)
+    wl = jnp.zeros((f * c, f * cout), jnp.float32)
+    wl = wl.at[(f - 1) * c :, :cout].set(w[0])      # h[rf−1] → y[rf]
+    wr = jnp.zeros((f * c, f * cout), jnp.float32)
+    wr = wr.at[:c, (f - 1) * cout :].set(w[2])      # h[rf+f] → y[rf+f−1]
+
+    up = jnp.pad(hv[:, :-1], ((0, 0), (1, 0), (0, 0)))    # folded row r−1
+    down = jnp.pad(hv[:, 1:], ((0, 0), (0, 1), (0, 0)))   # folded row r+1
+    dtype = x.dtype
+    yv = (
+        hv @ wc.astype(dtype)
+        + up @ wl.astype(dtype)
+        + down @ wr.astype(dtype)
+    )
+    y = yv.reshape(b, l, cout) + bias
+    return y.astype(x.dtype)
+
+
+def fold_groupnorm_film(x, gamma, beta, film_scale, film_shift, num_groups,
+                        eps: float = 1e-6):
+    """Compute GN stats (one cheap pass) and fold everything into
+    per-(batch, channel) affine:  x̂·s + t  ≡  GN(x)·γ(1+fs) applied FiLM.
+
+    Matches blocks.ResnetBlock1d semantics:
+        h = GN(x) · (1 + film_scale) + film_shift  with GN's own γ/β inside.
+    Returns (scale, shift), each (B, C) float32.
+    """
+    b, l, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, l, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3))                       # (B, G)
+    var = xf.var(axis=(1, 3))
+    inv = jax.lax.rsqrt(var + eps)                    # (B, G)
+    inv_c = jnp.repeat(inv, c // num_groups, axis=1)  # (B, C)
+    mean_c = jnp.repeat(mean, c // num_groups, axis=1)
+
+    one_plus = 1.0 + film_scale                       # (B, C)
+    scale = inv_c * gamma[None] * one_plus
+    shift = (beta[None] - mean_c * inv_c * gamma[None]) * one_plus + film_shift
+    return scale, shift
