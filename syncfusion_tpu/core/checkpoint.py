@@ -15,7 +15,6 @@ import dataclasses
 from pathlib import Path
 from typing import Any, Callable, Mapping, Optional
 
-import jax
 import numpy as np
 
 import orbax.checkpoint as ocp

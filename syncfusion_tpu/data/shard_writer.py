@@ -11,7 +11,7 @@ from __future__ import annotations
 import io
 import tarfile
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 
 def write_shards(

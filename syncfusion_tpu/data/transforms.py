@@ -12,7 +12,7 @@ clip).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 from PIL import Image

@@ -20,7 +20,7 @@ Two embedding backends:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ NMS-survivor count equals the GT onset count (evaluate_onset.py:150-163).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Mapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

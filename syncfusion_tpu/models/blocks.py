@@ -7,7 +7,6 @@ The reference's torch modules are NCL; converters transpose at the edges.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -9,7 +9,6 @@ masking beyond the shifted-window attention mask.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ tree; numerically identical to the uncached sampler (tested greedy-vs-greedy).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional
 

@@ -14,7 +14,7 @@ never receive gradients (reference freezes CLAP at module_diffusion.py:50-51).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

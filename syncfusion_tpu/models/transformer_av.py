@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from syncfusion_tpu.models.mingpt import GPTConfig, GPTFeats, sample_tokens, top_k_filter
+from syncfusion_tpu.models.mingpt import GPTConfig, GPTFeats, sample_tokens
 from syncfusion_tpu.models.mingpt_decode import sample_tokens_cached
 from syncfusion_tpu.models.onset_net import R2Plus1D18KeepTemp
 from syncfusion_tpu.models.vqgan.model import SpecVQGAN, VQModel

@@ -9,7 +9,6 @@ over ICI-connected chips — a v5e-8 runs 8× the single-chip bench number.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ explicit all-reduce anywhere (the DDP/NCCL equivalent, SURVEY §2.5).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax
