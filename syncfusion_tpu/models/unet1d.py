@@ -55,6 +55,7 @@ class UNet1d(nn.Module):
     modulation_features: int = 1024
     resnet_groups: int = 8
     out_channels: Optional[int] = None
+    remat: bool = False  # jax.checkpoint each resnet block (memory ↓, FLOPs ↑)
     dtype: jnp.dtype = jnp.float32
 
     def _attn(self, name: str) -> SelfAttention1d:
@@ -114,9 +115,11 @@ class UNet1d(nn.Module):
                 )
                 embedding = jnp.where(mask, fixed, embedding)
 
+        block_cls = nn.remat(ResnetBlock1d) if self.remat else ResnetBlock1d
+
         def run_items(h, level, path):
             for j in range(self.items[level]):
-                h = ResnetBlock1d(
+                h = block_cls(
                     self.channels[level],
                     groups=self.resnet_groups,
                     dtype=self.dtype,

@@ -165,3 +165,22 @@ def test_perfect_net_denoises():
 
     out = v_sample(oracle, None, noise, num_steps=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x_clean), atol=1e-5)
+
+
+def test_remat_unet_matches_plain():
+    """remat=True must be numerically identical (it only trades memory)."""
+    plain = UNet1d(**UNET)
+    remat = UNet1d(**UNET, remat=True)
+    x = jax.random.normal(jax.random.key(20), (1, L, 1))
+    sigma = jnp.full((1,), 0.3)
+    emb = jax.random.normal(jax.random.key(21), (1, 1, 16))
+    params = plain.init({"params": jax.random.key(0), "cfg": jax.random.key(1)},
+                        x, sigma, embedding=emb)
+    out_a = plain.apply(params, x, sigma, embedding=emb)
+    out_b = remat.apply(params, x, sigma, embedding=emb)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    ga = jax.grad(lambda p: jnp.sum(plain.apply(p, x, sigma, embedding=emb) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(remat.apply(p, x, sigma, embedding=emb) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
