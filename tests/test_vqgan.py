@@ -148,3 +148,24 @@ def test_vqgan_train_step_runs_and_improves():
     assert losses[-1] < losses[0]
     # disc was off for the first 2 steps
     assert float(metrics["loss/disc"]) >= 0.0
+
+
+def test_actnorm_discriminator_data_dependent_init():
+    from syncfusion_tpu.models.vqgan.discriminator import ActNorm
+
+    an = ActNorm()
+    x = jax.random.normal(jax.random.key(0), (4, 6, 6, 3)) * 5.0 + 2.0
+    variables = an.init(jax.random.key(1), x, train=False)
+    out, mutated = an.apply(variables, x, train=True, mutable=["batch_stats"])
+    # first training batch → normalized output
+    np.testing.assert_allclose(np.asarray(out).mean(axis=(0, 1, 2)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out).std(axis=(0, 1, 2)), 1.0, atol=1e-3)
+    assert bool(mutated["batch_stats"]["initialized"])
+
+
+def test_discriminator_actnorm_variant_runs():
+    d = NLayerDiscriminator(ndf=8, n_layers=2, use_actnorm=True)
+    x = jnp.zeros((2, 20, 40, 1))
+    v = jax.jit(lambda: d.init(jax.random.key(0), x, train=False))()
+    out = d.apply(v, x, train=False)
+    assert out.shape[0] == 2
