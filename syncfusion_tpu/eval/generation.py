@@ -13,6 +13,7 @@ dropped at save time.
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 from typing import Callable, Iterable, Iterator, Optional
 
@@ -77,6 +78,7 @@ def generate_dataset(
 
     root_key = jax.random.key(seed)
     chunk_id = 0
+    t_start, clips_done = time.perf_counter(), 0
     for batch_idx, batch in enumerate(_batches(dataset, batch_size)):
         n_valid = batch["wav"].shape[0]
         filenames = batch["filename"]
@@ -144,7 +146,13 @@ def generate_dataset(
             write_wav(experiment_path / f"{stem}.wav", out, out_sr)
             if save_cond and not cond_text:
                 write_wav(experiment_path / f"{stem}_cond.wav", cond_wav, out_sr)
-        log.info("generated batch %d (%d clips)", batch_idx, n_valid)
+        clips_done += n_valid
+        elapsed = time.perf_counter() - t_start
+        log.info(
+            "generated batch %d (%d clips) — %.1f clips/min (%.1f 8s-clips/min)",
+            batch_idx, n_valid, clips_done / elapsed * 60.0,
+            clips_done * (length / sample_rate / 8.0) / elapsed * 60.0,
+        )
 
 
 def prepare_gt_for_fad(
