@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Numerical parity checks against the reference implementation.
+
+Builds the reference's OWN torch modules (from ``--reference_dir``, never
+vendored here), pushes their state dicts through our converters, runs both
+sides on identical inputs, and reports max deviation.  With the published
+checkpoints present, pass ``--ckpt`` to check trained-weight parity instead
+of random-init parity.
+
+    python script/check_parity.py onset --reference_dir /root/reference
+    python script/check_parity.py onset --reference_dir ... --ckpt onset.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def check_onset(reference_dir: str, ckpt: str | None, tol: float) -> float:
+    import torch
+
+    sys.path.insert(0, reference_dir)
+    from main.onset_net import VideoOnsetNet  # the reference's own code
+
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.models.onset_net import (
+        VideoOnsetNet as OurNet,
+        convert_torch_r2plus1d,
+    )
+
+    ref = VideoOnsetNet(pretrained=False)
+    if ckpt:
+        blob = torch.load(ckpt, map_location="cpu", weights_only=False)
+        sd = blob.get("state_dict", blob)
+        ref.load_state_dict({k.replace("model.", "", 1) if k.startswith("model.net") else k: v
+                             for k, v in sd.items()}, strict=False)
+    ref.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+          if "num_batches_tracked" not in k}
+    tree = convert_torch_r2plus1d(sd)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 8, 64, 64)).astype(np.float32)  # torch layout
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x)).numpy()
+
+    ours = OurNet()
+    out_ours = np.asarray(ours.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))),  # → (B, T, H, W, C)
+        train=False,
+    ))
+    dev = float(np.abs(out_ours - out_ref).max())
+    rel = dev / max(float(np.abs(out_ref).max()), 1e-9)
+    print(f"onset logits: max|Δ|={dev:.3e} (rel {rel:.3e}) "
+          f"{'OK' if rel < tol else 'FAIL'}")
+    return rel
+
+
+def _report(name: str, out_ours: np.ndarray, out_ref: np.ndarray, tol: float) -> float:
+    dev = float(np.abs(out_ours - out_ref).max())
+    rel = dev / max(float(np.abs(out_ref).max()), 1e-9)
+    print(f"{name}: max|Δ|={dev:.3e} (rel {rel:.3e}) {'OK' if rel < tol else 'FAIL'}")
+    return rel
+
+
+def _ref_path(reference_dir: str) -> None:
+    sys.path.insert(0, reference_dir)                       # for CondFoleyGen.*
+    sys.path.insert(0, str(Path(reference_dir) / "CondFoleyGen"))
+
+
+def check_vqgan_autoencoder(reference_dir: str, ckpt: str | None, tol: float) -> float:
+    import torch
+
+    _ref_path(reference_dir)
+    from specvqgan.modules.diffusionmodules.model import Decoder, Encoder
+
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.models.vqgan.autoencoder import Decoder2d, Encoder2d
+    from syncfusion_tpu.models.vqgan.convert import convert_torch_vqgan
+
+    dd = dict(ch=32, ch_mult=(1, 2, 2), num_res_blocks=1, attn_resolutions=[10],
+              resolution=40, in_channels=1, z_channels=32, double_z=False,
+              out_ch=1, dropout=0.0)
+    torch.manual_seed(0)
+    enc_t = Encoder(**dd).eval()
+    dec_t = Decoder(**dd).eval()
+    sd = {f"encoder.{k}": v.detach().numpy() for k, v in enc_t.state_dict().items()}
+    sd.update({f"decoder.{k}": v.detach().numpy() for k, v in dec_t.state_dict().items()})
+    # dummy quantizer/conv entries so the converter runs whole
+    sd["quantize.embedding.weight"] = np.zeros((4, 4), np.float32)
+    for k in ("quant_conv", "post_quant_conv"):
+        sd[f"{k}.weight"] = np.zeros((4, 4, 1, 1), np.float32)
+        sd[f"{k}.bias"] = np.zeros((4,), np.float32)
+    tree = convert_torch_vqgan(sd, ch_mult=(1, 2, 2), num_res_blocks=1)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 1, 20, 40)).astype(np.float32)
+    with torch.no_grad():
+        z_ref = enc_t(torch.tensor(x)).numpy()
+        rec_ref = dec_t(torch.tensor(z_ref)).numpy()
+
+    enc = Encoder2d(ch=32, ch_mult=(1, 2, 2), num_res_blocks=1,
+                    attn_resolutions=(10,), resolution=40, z_channels=32)
+    z_ours = np.asarray(enc.apply({"params": tree["params"]["encoder"]},
+                                  jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    rel1 = _report("vqgan encoder", np.transpose(z_ours, (0, 3, 1, 2)), z_ref, tol)
+
+    dec = Decoder2d(ch=32, ch_mult=(1, 2, 2), num_res_blocks=1,
+                    attn_resolutions=(10,), resolution=40, out_ch=1)
+    rec_ours = np.asarray(dec.apply({"params": tree["params"]["decoder"]},
+                                    jnp.asarray(np.transpose(z_ref, (0, 2, 3, 1)))))
+    rel2 = _report("vqgan decoder", np.transpose(rec_ours, (0, 3, 1, 2)), rec_ref, tol)
+    return max(rel1, rel2)
+
+
+def check_quantizer(reference_dir: str, ckpt: str | None, tol: float) -> float:
+    import torch
+
+    _ref_path(reference_dir)
+    from specvqgan.modules.vqvae.quantize import VectorQuantizer as RefVQ
+
+    from syncfusion_tpu.models.vqgan.quantize import VectorQuantizer
+
+    torch.manual_seed(0)
+    ref = RefVQ(32, 8, beta=0.25)
+    z = np.random.default_rng(0).normal(size=(2, 8, 5, 10)).astype(np.float32)
+    with torch.no_grad():
+        zq_ref, loss_ref, _ = ref(torch.tensor(z))
+
+    import jax.numpy as jnp
+
+    q = VectorQuantizer(n_e=32, e_dim=8)
+    params = {"params": {"embedding": jnp.asarray(ref.embedding.weight.detach().numpy())}}
+    zq_ours, loss_ours, _ = q.apply(params, jnp.asarray(np.transpose(z, (0, 2, 3, 1))))
+    rel = _report("quantizer z_q", np.transpose(np.asarray(zq_ours), (0, 3, 1, 2)),
+                  zq_ref.numpy(), tol)
+    rel = max(rel, _report("quantizer loss", np.asarray(loss_ours),
+                           loss_ref.numpy(), tol))
+    return rel
+
+
+def check_mingpt(reference_dir: str, ckpt: str | None, tol: float) -> float:
+    import torch
+
+    _ref_path(reference_dir)
+    from specvqgan.modules.transformer.mingpt import GPTConfig as RefCfg, GPT as RefGPT
+
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.models.mingpt import GPTConfig, GPTFeats
+    from syncfusion_tpu.models.vqgan.convert import convert_torch_mingpt
+
+    torch.manual_seed(0)
+    ref = RefGPT(vocab_size=32, block_size=24, n_layer=2, n_head=2, n_embd=16,
+                 embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+          if "attn.mask" not in k}
+    tree = convert_torch_mingpt(sd, prefix="")
+
+    toks = np.array([[1, 2, 3, 4, 5, 6]], np.int64)
+    with torch.no_grad():
+        logits_ref = ref(torch.tensor(toks))[0].numpy()
+
+    ours = GPTFeats(GPTConfig(vocab_size=32, block_size=24, n_layer=2,
+                              n_head=2, n_embd=16))
+    logits_ours = np.asarray(ours.apply(tree, jnp.asarray(toks, jnp.int32), None))
+    return _report("mingpt logits", logits_ours, logits_ref, tol)
+
+
+def main(argv=None) -> None:
+    checks = {
+        "onset": check_onset,
+        "vqgan": check_vqgan_autoencoder,
+        "quantizer": check_quantizer,
+        "mingpt": check_mingpt,
+    }
+    ap = argparse.ArgumentParser()
+    ap.add_argument("component", choices=[*checks, "all"])
+    ap.add_argument("--reference_dir", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--tol", type=float, default=1e-4)
+    args = ap.parse_args(argv)
+
+    names = list(checks) if args.component == "all" else [args.component]
+    worst = 0.0
+    for name in names:
+        worst = max(worst, checks[name](args.reference_dir, args.ckpt, args.tol))
+    sys.exit(0 if worst < args.tol else 1)
+
+
+if __name__ == "__main__":
+    main()

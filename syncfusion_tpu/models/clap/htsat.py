@@ -77,7 +77,7 @@ class HTSAT(nn.Module):
             strides=(self.patch_size, self.patch_size), name="patch_embed",
         )(image)
         b, h, w, c = x.shape
-        x = nn.LayerNorm(name="patch_norm")(x.reshape(b, h * w, c))
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x.reshape(b, h * w, c))
 
         res = SPEC_SIZE // self.patch_size  # 64
         dim = self.embed_dim
@@ -95,7 +95,7 @@ class HTSAT(nn.Module):
                 res //= 2
                 dim *= 2
 
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return jnp.mean(x, axis=1)  # global average pool → (B, 768)
 
 

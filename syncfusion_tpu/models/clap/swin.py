@@ -109,7 +109,7 @@ class SwinBlock(nn.Module):
         b, l, c = x.shape
 
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x).reshape(b, h, w, c)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(shifted_window_mask(h, w, ws, shift))
@@ -124,7 +124,7 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + x.reshape(b, l, c)
 
-        h2 = nn.LayerNorm(name="norm2")(x)
+        h2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h2 = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1")(h2)
         h2 = nn.gelu(h2, approximate=False)
         h2 = nn.Dense(c, name="mlp_fc2")(h2)
@@ -144,7 +144,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         ).reshape(b, (h // 2) * (w // 2), 4 * c)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 

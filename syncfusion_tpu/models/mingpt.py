@@ -67,9 +67,9 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x + CausalSelfAttention(self.config, name="attn")(
-            nn.LayerNorm(name="ln1")(x)
+            nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         )
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * self.config.n_embd, name="mlp_fc")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.config.n_embd, name="mlp_proj")(h)
@@ -100,7 +100,7 @@ class GPTFeats(nn.Module):
         x = x + pos[None, :t]
         for i in range(cfg.n_layer):
             x = Block(cfg, name=f"h_{i}")(x)
-        x = nn.LayerNorm(name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_f")(x)
         return nn.Dense(cfg.vocab_size, use_bias=False, name="head")(x)
 
 

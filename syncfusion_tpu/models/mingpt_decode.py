@@ -23,7 +23,7 @@ from syncfusion_tpu.models.mingpt import GPTConfig, top_k_filter
 def _ln(p, x):
     mean = x.mean(-1, keepdims=True)
     var = ((x - mean) ** 2).mean(-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"]
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
 
 
 def _split_heads(x, n_head):
