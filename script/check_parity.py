@@ -177,12 +177,87 @@ def check_mingpt(reference_dir: str, ckpt: str | None, tol: float) -> float:
     return _report("mingpt logits", logits_ours, logits_ref, tol)
 
 
+def check_melgan(reference_dir: str, ckpt: str | None, tol: float) -> float:
+    import torch
+
+    _ref_path(reference_dir)
+    from specvqgan.models.vocoder_melgan import Generator as RefGen
+
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.models.melgan import MelGANGenerator, convert_melgan
+
+    torch.manual_seed(0)
+    ref = RefGen(80, ngf=32, n_residual_layers=3).eval()
+    if ckpt:
+        ref.load_state_dict(torch.load(ckpt, map_location="cpu"))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    tree = convert_melgan(sd)
+
+    mel = np.random.default_rng(0).normal(size=(1, 80, 20)).astype(np.float32)
+    with torch.no_grad():
+        wav_ref = ref(torch.tensor(mel)).numpy()[:, 0]
+
+    ours = MelGANGenerator()
+    wav_ours = np.asarray(
+        ours.apply(tree, jnp.asarray(np.transpose(mel, (0, 2, 1))))
+    )
+    return _report("melgan waveform", wav_ours, wav_ref, tol)
+
+
+def check_discriminator(reference_dir: str, ckpt: str | None, tol: float) -> float:
+    import torch
+
+    _ref_path(reference_dir)
+    from specvqgan.modules.discriminator.model import (
+        NLayerDiscriminator as RefDisc,
+        weights_init,
+    )
+
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.core.checkpoint import t_conv2d
+    from syncfusion_tpu.models.vqgan.discriminator import NLayerDiscriminator
+
+    torch.manual_seed(0)
+    ref = RefDisc(input_nc=1, ndf=8, n_layers=3).apply(weights_init).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    # reference Sequential: [conv, lrelu] + per-layer [conv, bn, lrelu] + final conv
+    params: dict = {"conv0": {"kernel": t_conv2d(sd["main.0.weight"]),
+                              "bias": sd["main.0.bias"]}}
+    stats: dict = {}
+    idx = 2
+    for n in range(1, 4):
+        params[f"conv{n}"] = {"kernel": t_conv2d(sd[f"main.{idx}.weight"])}
+        params[f"bn{n}"] = {"scale": sd[f"main.{idx+1}.weight"],
+                            "bias": sd[f"main.{idx+1}.bias"]}
+        stats[f"bn{n}"] = {"mean": sd[f"main.{idx+1}.running_mean"],
+                           "var": sd[f"main.{idx+1}.running_var"]}
+        idx += 3
+    params["conv_out"] = {"kernel": t_conv2d(sd[f"main.{idx}.weight"]),
+                          "bias": sd[f"main.{idx}.bias"]}
+
+    x = np.random.default_rng(0).normal(size=(2, 1, 80, 160)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x)).numpy()
+    ours = NLayerDiscriminator(ndf=8, n_layers=3)
+    out_ours = np.asarray(ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False,
+    ))
+    return _report("discriminator logits",
+                   np.transpose(out_ours, (0, 3, 1, 2)), out_ref, tol)
+
+
 def main(argv=None) -> None:
     checks = {
         "onset": check_onset,
         "vqgan": check_vqgan_autoencoder,
         "quantizer": check_quantizer,
         "mingpt": check_mingpt,
+        "melgan": check_melgan,
+        "discriminator": check_discriminator,
     }
     ap = argparse.ArgumentParser()
     ap.add_argument("component", choices=[*checks, "all"])

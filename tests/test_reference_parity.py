@@ -40,3 +40,11 @@ def test_quantizer_matches_reference(parity):
 
 def test_mingpt_matches_reference(parity):
     assert parity.check_mingpt(str(REFERENCE), None, 1e-4) < 1e-4
+
+
+def test_melgan_matches_reference(parity):
+    assert parity.check_melgan(str(REFERENCE), None, 1e-4) < 1e-4
+
+
+def test_discriminator_matches_reference(parity):
+    assert parity.check_discriminator(str(REFERENCE), None, 1e-4) < 1e-4
