@@ -7,14 +7,18 @@ normalized/activated intermediate to HBM before the conv reads it back.
 This kernel computes the whole chain in VMEM: x is read once (plus a tiny
 2-row halo per tile), the conv output is the only write.
 
-Measured status on v5e (see README): the Pallas variant currently fails the
-remote Mosaic compiler on this image's tunnel (simple kernels and flash
-attention compile fine — the DMA-from-ANY pattern is the suspect) and is
-validated in interpret mode; the XLA ``folded_affine_silu_conv`` lane-folding
-variant wins 1.84× at C=64 shapes but loses at C≤32 because the fold/unfold
-reshapes relayout through HBM.  The round-2 plan is whole-level folded
-layout (fold once per level, all resnet ops in folded space) which removes
-the per-op relayouts.
+Measured status on v5e: three implementations, all equivalence-tested.
+  * ``fused_affine_silu_conv`` (manual halo DMA) — rejected by this image's
+    remote Mosaic compiler (DMA-from-ANY pattern; plain-BlockSpec kernels
+    like flash attention compile fine).  Interpret-validated.
+  * ``fused_affine_silu_conv_blocked`` (plain BlockSpec pipeline + XLA
+    boundary fix) — COMPILES on the chip: 1.6× faster than the XLA chain at
+    C=32 shapes, 0.4× at C=8 (8-lane tiles waste the VPU).
+  * ``folded_affine_silu_conv`` (pure-XLA lane folding) — 1.8× at C=64,
+    loses at C≤32 to fold/unfold relayouts.
+  Baseline XLA timings vary up to 3× run-to-run on the shared tunnel, so
+  per-level kernel selection is deferred to a round with steadier access;
+  the candidates and their equivalence tests are in place.
 
 Division of labor: per-(batch, group) GN statistics are a cheap single
 reduction done in plain JAX (reads x once at full bandwidth); the kernel
@@ -53,11 +57,13 @@ def _make_kernel(block_l: int, c: int):
 
         def body(scratch, sem):
             dma = pltpu.make_async_copy(
-                x_hbm.at[i, pl.ds(j * block_l, block_l + 2), :], scratch, sem
+                x_hbm.at[i, pl.ds(j * block_l, block_l + 2), :],
+                scratch.at[: block_l + 2],
+                sem,
             )
             dma.start()
             dma.wait()
-            x = scratch[...].astype(jnp.float32)            # (TL+2, C)
+            x = scratch[: block_l + 2].astype(jnp.float32)  # (TL+2, C)
             scale = scale_ref[0].astype(jnp.float32)        # (1, C)
             shift = shift_ref[0].astype(jnp.float32)
             h = x * scale + shift
@@ -84,9 +90,10 @@ def _make_kernel(block_l: int, c: int):
             )
             o_ref[0] = (acc + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
+        # scratch sublane dim padded to an 8-aligned size (Mosaic tiling)
         pl.run_scoped(
             body,
-            pltpu.VMEM((block_l + 2, c), x_hbm.dtype),
+            pltpu.VMEM((block_l + 8, c), x_hbm.dtype),
             pltpu.SemaphoreType.DMA(()),
         )
 
@@ -120,6 +127,91 @@ def _fused_forward(x, scale, shift, weight, bias, block_l, interpret):
         out_shape=jax.ShapeDtypeStruct((b, l, cout), x.dtype),
         interpret=interpret,
     )(xp, scale[:, None, :], shift[:, None, :], weight, bias[None])
+
+
+def _block_local_kernel(x_ref, scale_ref, shift_ref, w_ref, b_ref, o_ref):
+    """Block-LOCAL affine→SiLU→conv (zero halo): each (1, TL, C) tile is
+    convolved as if it were an independent sequence; the 2-row contributions
+    across block boundaries are patched afterwards in XLA (cheap: 2 rows per
+    boundary).  Avoids manual DMA, which this image's remote Mosaic compiler
+    rejects — only plain BlockSpec pipelines are used."""
+    x = x_ref[0].astype(jnp.float32)                # (TL, C)
+    scale = scale_ref[0].astype(jnp.float32)
+    shift = shift_ref[0].astype(jnp.float32)
+    h = x * scale + shift
+    h = h * jax.nn.sigmoid(h)
+    tl = h.shape[0]
+    w = w_ref[...].astype(jnp.float32)              # (3, C, Cout)
+
+    def mm(a, kern):
+        return jax.lax.dot_general(
+            a, kern, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = mm(h, w[1])
+    # dl=-1 (w[0]) needs h[l-1]; dl=+1 (w[2]) needs h[l+1] — zero at edges
+    zero = jnp.zeros((1, h.shape[1]), jnp.float32)
+    acc += mm(jnp.concatenate([zero, h[: tl - 1]], axis=0), w[0])
+    acc += mm(jnp.concatenate([h[1:], zero], axis=0), w[2])
+    o_ref[0] = (acc + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_affine_silu_conv_blocked(x, scale, shift, weight, bias,
+                                   block_l: int = DEFAULT_BLOCK_L,
+                                   interpret: bool = False):
+    """TPU-compilable fused op: Pallas block-local conv + XLA boundary fix.
+
+    x is read once by the pallas pipeline; the boundary correction touches
+    only 2·(L/block_l) rows per batch (thousandths of the array).
+    """
+    b, l, c = x.shape
+    cout = weight.shape[-1]
+    assert l % block_l == 0, f"L={l} not divisible by block_l={block_l}"
+    nb = l // block_l
+
+    grid = (b, nb)
+    y = pl.pallas_call(
+        _block_local_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_l, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c, cout), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_l, cout), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, cout), x.dtype),
+        interpret=interpret,
+    )(x, scale[:, None, :], shift[:, None, :], weight, bias[None])
+
+    if nb == 1:
+        return y
+
+    # ---- boundary corrections (XLA, 2·(nb−1) rows per batch) ------------
+    bpos = jnp.arange(1, nb) * block_l                 # first row of blocks 1..
+    xf = x.astype(jnp.float32)
+
+    def act(rows):  # rows: (B, nb-1, C)
+        h = rows * scale[:, None, :] + shift[:, None, :]
+        return jax.nn.silu(h)
+
+    h_first = act(xf[:, bpos])          # h at block starts (missing for y[bpos-1])
+    h_last = act(xf[:, bpos - 1])       # h at block ends  (missing for y[bpos])
+    w = weight.astype(jnp.float32)
+    corr_prev = jnp.einsum("bnc,cd->bnd", h_first, w[2])  # into y[bpos-1]
+    corr_next = jnp.einsum("bnc,cd->bnd", h_last, w[0])   # into y[bpos]
+
+    y = y.astype(jnp.float32)
+    y = y.at[:, bpos - 1].add(corr_prev)
+    y = y.at[:, bpos].add(corr_next)
+    return y.astype(x.dtype)
 
 
 def _reference(x, scale, shift, weight, bias):

@@ -92,3 +92,23 @@ def test_folded_gradients_flow():
     g = jax.grad(lambda x: jnp.sum(folded_affine_silu_conv(x, scale, shift, w, b, 16) ** 2))(x)
     g_ref = jax.grad(lambda x: jnp.sum(_reference(x, scale, shift, w, b) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+def test_blocked_matches_reference():
+    from syncfusion_tpu.ops.fused_resblock import fused_affine_silu_conv_blocked
+
+    x, scale, shift, w, b = _inputs(b=2, l=512, c=16, cout=16, seed=4)
+    got = fused_affine_silu_conv_blocked(x, scale, shift, w, b, block_l=128,
+                                         interpret=True)
+    ref = _reference(x, scale, shift, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_blocked_single_block():
+    from syncfusion_tpu.ops.fused_resblock import fused_affine_silu_conv_blocked
+
+    x, scale, shift, w, b = _inputs(b=1, l=128, c=8, cout=8, seed=5)
+    got = fused_affine_silu_conv_blocked(x, scale, shift, w, b, block_l=128,
+                                         interpret=True)
+    ref = _reference(x, scale, shift, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
