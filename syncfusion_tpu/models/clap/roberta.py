@@ -45,7 +45,7 @@ class RobertaEmbeddings(nn.Module):
 class RobertaLayer(nn.Module):
     hidden: int = 768
     heads: int = 12
-    intermediate: int = 3072
+    intermediate: int = 3072  # 4·hidden in roberta-base
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_mask: jax.Array) -> jax.Array:
@@ -74,14 +74,20 @@ class RobertaModel(nn.Module):
     num_layers: int = 12
     hidden: int = 768
     heads: int = 12
+    intermediate: int = 3072
+    vocab_size: int = 50265
+    max_positions: int = 514
 
     @nn.compact
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
         """Returns last hidden states (B, L, H)."""
-        x = RobertaEmbeddings(hidden=self.hidden, name="embeddings")(input_ids)
+        x = RobertaEmbeddings(hidden=self.hidden, vocab_size=self.vocab_size,
+                              max_positions=self.max_positions,
+                              name="embeddings")(input_ids)
         bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
         for i in range(self.num_layers):
             x = RobertaLayer(hidden=self.hidden, heads=self.heads,
+                             intermediate=self.intermediate,
                              name=f"layer_{i}")(x, bias)
         return x
 
