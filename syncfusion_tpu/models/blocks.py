@@ -53,31 +53,108 @@ class ResnetBlock1d(nn.Module):
     The modulation is the scale/shift FiLM the reference applies per resnet
     item (a-unet ``MappingToScaleShift`` semantics): the time embedding maps
     to ``(1+scale, shift)`` applied after the first GroupNorm.
+
+    ``fused=True`` routes both GN→(FiLM)→SiLU→conv chains through the
+    blocked Pallas kernel (ops/fused_resblock.py): GN stats are one cheap
+    XLA reduction, the normalize/modulate/activate/convolve chain reads x
+    once.  Numerically equivalent (tested); params are identical between
+    paths.
     """
 
     channels: int
     groups: int = 8
     kernel: int = 3
+    fused: bool = False
+    fused_block_l: int = 4096
+    fused_min_ch: int = 32  # narrow-lane tiles lose below this (measured)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, time_emb: Optional[jax.Array] = None) -> jax.Array:
         residual = x
         in_ch = x.shape[-1]  # may differ from channels (context concat)
-        h = nn.GroupNorm(num_groups=_gn_groups(in_ch, self.groups))(x)
-        if time_emb is not None:
-            scale_shift = nn.Dense(2 * in_ch, name="film")(nn.silu(time_emb))
-            scale, shift = jnp.split(scale_shift[:, None, :], 2, axis=-1)
-            h = h * (1.0 + scale) + shift
-        h = nn.silu(h)
-        h = nn.Conv(self.channels, (self.kernel,), dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=_gn_groups(self.channels, self.groups))(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.channels, (self.kernel,), dtype=self.dtype, name="conv2")(h)
+
+        gn1 = nn.GroupNorm(num_groups=_gn_groups(in_ch, self.groups),
+                           name="GroupNorm_0")
+        gn2 = nn.GroupNorm(num_groups=_gn_groups(self.channels, self.groups),
+                           name="GroupNorm_1")
+        conv1 = nn.Conv(self.channels, (self.kernel,), dtype=self.dtype, name="conv1")
+        conv2 = nn.Conv(self.channels, (self.kernel,), dtype=self.dtype, name="conv2")
+        film = (
+            nn.Dense(2 * in_ch, name="film") if time_emb is not None else None
+        )
+
+        use_fused = (
+            self.fused
+            and self.kernel == 3
+            and x.shape[1] % self.fused_block_l == 0
+            and self.fused_min_ch <= in_ch <= 128
+            and self.fused_min_ch <= self.channels <= 128
+        )
+        if use_fused:
+            h = self._fused_path(x, time_emb, gn1, gn2, conv1, conv2, film)
+        else:
+            h = gn1(x)
+            if film is not None:
+                scale_shift = film(nn.silu(time_emb))
+                scale, shift = jnp.split(scale_shift[:, None, :], 2, axis=-1)
+                h = h * (1.0 + scale) + shift
+            h = nn.silu(h)
+            h = conv1(h)
+            h = gn2(h)
+            h = nn.silu(h)
+            h = conv2(h)
+
         if residual.shape[-1] != self.channels:
             residual = nn.Conv(self.channels, (1,), use_bias=False, dtype=self.dtype,
                                name="skip_proj")(residual)
         return h + residual
+
+    def _fused_path(self, x, time_emb, gn1, gn2, conv1, conv2, film):
+        """Shared-params fused chain: params come from the SAME submodules
+        (created by calling them on zero-length dummies so the variable tree
+        is identical to the plain path), math from ops/fused_resblock."""
+        from syncfusion_tpu.ops.fused_resblock import (
+            fold_groupnorm_film,
+            fused_affine_silu_conv_blocked,
+        )
+
+        in_ch = x.shape[-1]
+        b = x.shape[0]
+        # materialize identical params via dummy calls (traced away by XLA)
+        dummy = jnp.zeros((1, 8, in_ch), x.dtype)
+        _ = conv1(nn.silu(gn1(dummy)))
+        dummy2 = jnp.zeros((1, 8, self.channels), x.dtype)
+        _ = conv2(nn.silu(gn2(dummy2)))
+        if film is not None:
+            film_out = film(nn.silu(time_emb))
+            fs, ft = jnp.split(film_out, 2, axis=-1)
+        else:
+            fs = jnp.zeros((b, in_ch), jnp.float32)
+            ft = jnp.zeros((b, in_ch), jnp.float32)
+
+        g1 = _gn_groups(in_ch, self.groups)
+        g2 = _gn_groups(self.channels, self.groups)
+        p = self.variables["params"]
+        scale1, shift1 = fold_groupnorm_film(
+            x, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
+            fs.astype(jnp.float32), ft.astype(jnp.float32), g1,
+        )
+        h = fused_affine_silu_conv_blocked(
+            x, scale1, shift1,
+            p["conv1"]["kernel"].astype(self.dtype), p["conv1"]["bias"],
+            block_l=self.fused_block_l,
+        )
+        zero = jnp.zeros((h.shape[0], self.channels), jnp.float32)
+        scale2, shift2 = fold_groupnorm_film(
+            h, p["GroupNorm_1"]["scale"], p["GroupNorm_1"]["bias"],
+            zero, zero, g2,
+        )
+        return fused_affine_silu_conv_blocked(
+            h, scale2, shift2,
+            p["conv2"]["kernel"].astype(self.dtype), p["conv2"]["bias"],
+            block_l=self.fused_block_l,
+        )
 
 
 class SelfAttention1d(nn.Module):

@@ -56,6 +56,8 @@ class UNet1d(nn.Module):
     resnet_groups: int = 8
     out_channels: Optional[int] = None
     remat: bool = False  # jax.checkpoint each resnet block (memory ↓, FLOPs ↑)
+    fused_resnet: bool = False  # Pallas-fused GN/FiLM/SiLU/conv chain
+    fused_block_l: int = 4096
     dtype: jnp.dtype = jnp.float32
 
     def _attn(self, name: str) -> SelfAttention1d:
@@ -122,6 +124,8 @@ class UNet1d(nn.Module):
                 h = block_cls(
                     self.channels[level],
                     groups=self.resnet_groups,
+                    fused=self.fused_resnet,
+                    fused_block_l=self.fused_block_l,
                     dtype=self.dtype,
                     name=f"{path}_res_{level}_{j}",
                 )(h, time_emb)

@@ -184,3 +184,36 @@ def test_remat_unet_matches_plain():
     gb = jax.grad(lambda p: jnp.sum(remat.apply(p, x, sigma, embedding=emb) ** 2))(params)
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_resnet_block_matches_plain():
+    """fused=True (Pallas chain) must match the plain path with the SAME
+    params, within bf16-free f32 tolerance."""
+    from syncfusion_tpu.models.blocks import ResnetBlock1d
+
+    plain = ResnetBlock1d(channels=16, groups=2, fused=False)
+    fused = ResnetBlock1d(channels=16, groups=2, fused=True, fused_block_l=64)
+    x = jax.random.normal(jax.random.key(30), (2, 256, 12))
+    temb = jax.random.normal(jax.random.key(31), (2, 32))
+    params = plain.init(jax.random.key(0), x, temb)
+    # identical param trees
+    fparams = fused.init(jax.random.key(0), x, temb)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(fparams)
+
+    out_plain = plain.apply(params, x, temb)
+    out_fused = fused.apply(params, x, temb)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               atol=3e-5)
+
+
+def test_fused_unet_matches_plain():
+    plain = UNet1d(**UNET)
+    fused = UNet1d(**UNET, fused_resnet=True, fused_block_l=64)
+    x = jax.random.normal(jax.random.key(32), (1, L, 1))
+    sigma = jnp.full((1,), 0.6)
+    emb = jax.random.normal(jax.random.key(33), (1, 1, 16))
+    params = plain.init({"params": jax.random.key(0), "cfg": jax.random.key(1)},
+                        x, sigma, embedding=emb)
+    a = plain.apply(params, x, sigma, embedding=emb)
+    b = fused.apply(params, x, sigma, embedding=emb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
