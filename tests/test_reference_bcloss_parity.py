@@ -20,6 +20,9 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_bcloss():
+    import importlib.machinery
+
+    injected = []
     for name, attrs in [
         ("pytorch_lightning", {"LightningModule": object, "Callback": object,
                                "Trainer": object}),
@@ -27,16 +30,27 @@ def ref_bcloss():
         ("natsort", {"natsorted": sorted}),
     ]:
         mod = types.ModuleType(name)
+        # a real ModuleSpec so importlib.util.find_spec on the stub works
+        # (transformers probes wandb this way in later tests)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
         for k, v in attrs.items():
             setattr(mod, k, v)
-        sys.modules.setdefault(name, mod)
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            injected.append(name)
     pl_loggers = types.ModuleType("pytorch_lightning.loggers")
+    pl_loggers.__spec__ = importlib.machinery.ModuleSpec(
+        "pytorch_lightning.loggers", None)
     pl_loggers.WandbLogger = object
-    sys.modules.setdefault("pytorch_lightning.loggers", pl_loggers)
+    if "pytorch_lightning.loggers" not in sys.modules:
+        sys.modules["pytorch_lightning.loggers"] = pl_loggers
+        injected.append("pytorch_lightning.loggers")
     sys.path.insert(0, str(REFERENCE))
     from main.module_onset import BCLoss
 
-    return BCLoss()
+    yield BCLoss()
+    for name in injected:  # don't leak stubs into other test modules
+        sys.modules.pop(name, None)
 
 
 def _batch(seed=0):
