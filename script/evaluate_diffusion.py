@@ -29,23 +29,39 @@ from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 log = get_logger("evaluate_diffusion")
 
 
-def load_params(model: SyncFusionDiffusion, model_path: str | None, length: int):
-    """Init params, then restore from an orbax run dir or a torch .ckpt."""
+def load_params(model: SyncFusionDiffusion, model_path: str | None, length: int,
+                model_cfg=None):
+    """Init params, then restore from an orbax run dir or a torch .ckpt.
+
+    ``.ckpt``/``.pt``/``.pth`` paths are the reference's Lightning
+    checkpoints (e.g. the published ``epoch=784-valid_loss=0.008.ckpt``);
+    they convert through models/adp_convert.py into the weight-compatible
+    a-unet twin models (requires the model to be built with compat=True,
+    which main() selects automatically for these suffixes).
+    """
+    if model_path and Path(model_path).suffix in (".ckpt", ".pt", ".pth"):
+        from syncfusion_tpu.models.adp_convert import load_diffusion_ckpt
+        from syncfusion_tpu.models.adp_torch_recon import (
+            Encoder1dConfig,
+            UNetV0Config,
+        )
+
+        ucfg = UNetV0Config.from_node(model_cfg["model"]) if model_cfg else None
+        ecfg = (
+            Encoder1dConfig.from_node(model_cfg["onsets_encoder"])
+            if model_cfg else None
+        )
+        log.info("converting torch checkpoint %s (compat model)", model_path)
+        return load_diffusion_ckpt(model_path, ucfg, ecfg)
+
     params = model.init(jax.random.key(0), length, batch=1)
     if not model_path:
         log.warning("no model_path — using randomly initialized model")
         return params
-    p = Path(model_path)
-    if p.suffix in (".ckpt", ".pt", ".pth"):
-        raise NotImplementedError(
-            "the diffusion UNet is a TPU-first re-design and cannot ingest "
-            "a-unet torch checkpoints (see docs/PARITY.md level 3); pass an "
-            "orbax run directory trained with script/train_diffusion_model.py"
-        )
     from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
 
     state_tpl = {"params": params}
-    restored = Checkpointer(CheckpointConfig(directory=p)).restore(state_tpl)
+    restored = Checkpointer(CheckpointConfig(directory=Path(model_path))).restore(state_tpl)
     return restored["params"]
 
 
@@ -60,9 +76,15 @@ def main(argv=None) -> None:
     exp_fn = instantiate(exp_node)
 
     if "generate_dataset" in target:
-        model = SyncFusionDiffusion.from_config(cfg.model)
+        model_path = cfg.get("model_path")
+        is_torch_ckpt = bool(
+            model_path and Path(model_path).suffix in (".ckpt", ".pt", ".pth")
+        )
+        model = SyncFusionDiffusion.from_config(
+            cfg.model, compat=True if is_torch_ckpt else None
+        )
         embedder = build_embedder(cfg.model)
-        params = load_params(model, cfg.get("model_path"), cfg.gen_length)
+        params = load_params(model, model_path, cfg.gen_length, cfg.model)
         exp_fn(
             model=model,
             params=params,

@@ -1,0 +1,513 @@
+"""Torch-side reconstruction of the reference's diffusion nets.
+
+The reference's diffusion model is built from two pip packages that are
+pinned in /root/reference/requirements.txt:23-24 but are neither installed
+in this environment nor vendored in the reference tree:
+
+  * ``audio-diffusion-pytorch==0.1.3`` — ``UNetV0`` (an a-unet ``XUNet``
+    wrapped in ``TimeConditioningPlugin(ClassifierFreeGuidancePlugin(...))``),
+    configured at /root/reference/exp/model/diffusion.yaml:11-33 and loaded
+    with the published checkpoint at /root/reference/main/generation.py:40-43.
+  * ``audio-encoders-pytorch==0.0.22`` — ``Encoder1d`` (onset-track encoder),
+    configured at exp/model/diffusion.yaml:35-43.
+
+This module is a from-scratch reconstruction of those architectures *as
+configured by the reference*, derived from knowledge of the upstream
+sources (archinetai/a-unet, archinetai/audio-diffusion-pytorch 0.1.3,
+archinetai/audio-encoders-pytorch 0.0.22).  It exists for three reasons:
+
+  1. **Shape manifest** — ``unet_manifest()`` / ``encoder_manifest()``
+     enumerate every expected checkpoint tensor (name, shape, registration
+     order) for a given config; dumped to docs/aunet_manifest.txt.
+  2. **Converter fixture** — tests build this model with random weights,
+     convert its state_dict through models/adp_convert.py, and assert the
+     JAX compat model (models/adp_compat.py) produces identical outputs.
+  3. **Positional ingestion** — real a-unet checkpoints use the upstream's
+     internal (anonymous ``blocks.N``) naming; the converter matches them
+     against this manifest by registration order + shape, so the exact
+     upstream attribute names do not need to be guessed.
+
+Derivation decision log (each uncertain point is marked; see
+docs/AUNET_MANIFEST.md for the full discussion):
+
+  D1  a-unet's ``Module`` helper registers submodules as a ``blocks``
+      ModuleList → upstream keys are anonymous ``blocks.N`` chains; this
+      recon uses descriptive names and relies on order+shape matching.
+  D2  Plugin nesting: ``TimeConditioningPlugin(ClassifierFreeGuidancePlugin(
+      XUNet))`` → registration order NumberEmbedder, time-MLP,
+      FixedEmbedding, XUNet.
+  D3  NumberEmbedder: weights (dim//2=128,), fouriered = [x, sin, cos],
+      to_out = Linear(dim+1=257 → modulation_features); forward applies
+      GELU then a 2-layer (Linear→GELU) MLP.  Upstream's ``Repeat`` may
+      share the two MLP layers' weights; modeled as independent layers
+      (identical at load time — a real ckpt carries both key paths).
+  D4  Per-item skip connections: the down path pushes the output of EVERY
+      item onto a stack; each up-path item pops one and merges via
+      ``MergeCat`` = Conv1d(2c→c, k1) over cat([skip·2^-0.5, x]).
+      (skip scale and cat order are flagged as uncertain.)
+  D5  Item expansion per level (audio_diffusion_pytorch.UNetV0):
+      ([Resnet] + [Modulation]·use_modulation + [Inject]·(ctx>0)
+       + [Attention]·attn + [CrossAttention]·xattn) * items.
+  D6  InjectChannels: Conv1d(channels+ctx → channels, k1) over the channel
+      concat, no residual; tolerant of a missing context tensor at its
+      depth (the reference supplies 7 tensors for 8 configured levels —
+      depth 7's injector params exist but never fire).
+  D7  Down/Upsample: Conv1d / ConvTranspose1d with kernel=factor,
+      stride=factor, padding 0 (a-unet width=1).
+  D8  Attention: pre-LayerNorm on x and context separately, to_q / fused
+      to_kv without bias, to_out with bias, residual added inside.
+  D9  Modulation: GroupNorm(1, affine=True) then FiLM
+      ``gn(x)·(1+scale)+shift`` with [scale,shift] = Linear(SiLU(features)).
+  D10 Block registration order: downsample, items_down, inner,
+      skip_adapters, items_up, upsample; innermost block has no skip
+      adapters (no inner output to merge).
+  D11 aep Encoder1d: xs = [input, to_in(x), block_0(x), ...]; to_in is a
+      Patcher (= ConvBlock1d(GN(1)→SiLU→Conv k3) + patch rearrange);
+      DownsampleBlock1d = Downsample1d (conv k=2·factor+1, stride factor,
+      padding factor) followed by ``num_blocks`` ResnetBlock1d
+      (GN→SiLU→Conv k3 ×2 + shortcut).
+
+torch is imported lazily — the TPU framework itself never needs it.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+
+# --------------------------------------------------------------------------
+# Config (mirrors exp/model/diffusion.yaml:11-43)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class UNetV0Config:
+    in_channels: int = 1
+    channels: Sequence[int] = (8, 32, 64, 128, 256, 512, 1024, 1024)
+    factors: Sequence[int] = (1, 4, 4, 4, 2, 2, 2, 2)
+    items: Sequence[int] = (1, 2, 2, 2, 2, 2, 2, 4)
+    attentions: Sequence[int] = (0, 0, 0, 0, 1, 1, 1, 1)
+    cross_attentions: Sequence[int] = (1, 1, 1, 1, 1, 1, 1, 1)
+    context_channels: Sequence[int] = (2, 8, 16, 32, 64, 128, 256, 256)
+    attention_heads: int = 8
+    attention_features: int = 64
+    embedding_features: int = 512
+    embedding_max_length: int = 1
+    use_embedding_cfg: bool = True
+    use_modulation: bool = True
+    modulation_features: int = 1024
+    resnet_groups: int = 8
+    out_channels: Optional[int] = None
+    # flagged-uncertain structural knobs (defaults = best derivation)
+    skip_scale: float = 2.0 ** -0.5
+    fourier_dim: int = 256
+
+    def item_kinds(self, level: int) -> List[str]:
+        """Expanded item-kind list for one level (decision D5)."""
+        base: List[str] = ["res"]
+        if self.use_modulation:
+            base.append("mod")
+        if self.context_channels[level] > 0:
+            base.append("inj")
+        if self.attentions[level]:
+            base.append("attn")
+        if self.cross_attentions[level]:
+            base.append("xattn")
+        return base * self.items[level]
+
+    @classmethod
+    def from_node(cls, m: dict) -> "UNetV0Config":
+        return cls(
+            in_channels=m.get("in_channels", 1),
+            channels=tuple(m["channels"]),
+            factors=tuple(m["factors"]),
+            items=tuple(m["items"]),
+            attentions=tuple(m["attentions"]),
+            cross_attentions=tuple(m["cross_attentions"]),
+            context_channels=tuple(m["context_channels"]),
+            attention_heads=m.get("attention_heads", 8),
+            attention_features=m.get("attention_features", 64),
+            embedding_features=m.get("embedding_features", 512),
+            embedding_max_length=m.get("embedding_max_length", 1),
+            use_embedding_cfg=m.get("use_embedding_cfg", True),
+        )
+
+
+@dataclass(frozen=True)
+class Encoder1dConfig:
+    in_channels: int = 1
+    channels: int = 2
+    multipliers: Sequence[int] = (1, 1, 4, 8, 16, 32, 64, 128, 128)
+    factors: Sequence[int] = (1, 4, 4, 4, 2, 2, 2, 2)
+    num_blocks: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
+    resnet_groups: int = 2
+    patch_size: int = 1
+
+    @classmethod
+    def from_node(cls, e: dict) -> "Encoder1dConfig":
+        return cls(
+            in_channels=e.get("in_channels", 1),
+            channels=e["channels"],
+            multipliers=tuple(e["multipliers"]),
+            factors=tuple(e["factors"]),
+            num_blocks=tuple(e["num_blocks"]),
+            resnet_groups=e.get("resnet_groups", 2),
+            patch_size=e.get("patch_size", 1),
+        )
+
+
+# --------------------------------------------------------------------------
+# Torch modules (lazy import)
+# --------------------------------------------------------------------------
+
+def _torch():
+    import torch
+    from torch import nn
+    return torch, nn
+
+
+def build_unet_recon(cfg: UNetV0Config):
+    """Instantiate the torch reconstruction of UNetV0(cfg)."""
+    torch, nn = _torch()
+    F = torch.nn.functional
+
+    class NumberEmbedder(nn.Module):  # D3
+        def __init__(self, features: int, dim: int = cfg.fourier_dim):
+            super().__init__()
+            assert dim % 2 == 0
+            self.weights = nn.Parameter(torch.randn(dim // 2))
+            self.to_out = nn.Linear(dim + 1, features)
+
+        def forward(self, x):  # x (B,)
+            x = x[:, None]
+            freqs = x * self.weights[None, :] * 2 * math.pi
+            fouriered = torch.cat([freqs.sin(), freqs.cos()], dim=-1)
+            return self.to_out(torch.cat([x, fouriered], dim=-1))
+
+    class Resnet(nn.Module):  # GN→SiLU→Conv ×2 + residual (in==out here)
+        def __init__(self, ch: int, groups: int):
+            super().__init__()
+            self.gn1 = nn.GroupNorm(min(groups, ch), ch)
+            self.conv1 = nn.Conv1d(ch, ch, 3, padding=1)
+            self.gn2 = nn.GroupNorm(min(groups, ch), ch)
+            self.conv2 = nn.Conv1d(ch, ch, 3, padding=1)
+
+        def forward(self, x, *_):
+            h = self.conv1(F.silu(self.gn1(x)))
+            h = self.conv2(F.silu(self.gn2(h)))
+            return h + x
+
+    class Modulation(nn.Module):  # D9
+        def __init__(self, ch: int, mod_features: int):
+            super().__init__()
+            self.to_scale_shift = nn.Linear(mod_features, ch * 2)
+            self.norm = nn.GroupNorm(1, ch)
+
+        def forward(self, x, features, *_):
+            scale_shift = self.to_scale_shift(F.silu(features))
+            scale, shift = scale_shift.chunk(2, dim=-1)
+            return self.norm(x) * (1 + scale[..., None]) + shift[..., None]
+
+    class Inject(nn.Module):  # D6
+        def __init__(self, ch: int, ctx_ch: int, depth: int):
+            super().__init__()
+            self.conv = nn.Conv1d(ch + ctx_ch, ch, 1)
+            self.depth = depth
+            self.ctx_ch = ctx_ch
+
+        def forward(self, x, features, embedding, channels):
+            if channels is None or len(channels) <= self.depth or channels[self.depth] is None:
+                return x  # tolerant: the reference feeds 7 tensors for 8 levels
+            ctx = channels[self.depth]
+            assert ctx.shape[1] == self.ctx_ch and ctx.shape[2] == x.shape[2]
+            return self.conv(torch.cat([x, ctx], dim=1))
+
+    class Attention(nn.Module):  # D8; operates token-major internally
+        def __init__(self, features: int, context_features: Optional[int] = None):
+            super().__init__()
+            ctx_f = context_features or features
+            mid = cfg.attention_heads * cfg.attention_features
+            self.norm = nn.LayerNorm(features)
+            self.norm_context = nn.LayerNorm(ctx_f)
+            self.to_q = nn.Linear(features, mid, bias=False)
+            self.to_kv = nn.Linear(ctx_f, mid * 2, bias=False)
+            self.to_out = nn.Linear(mid, features)
+            self.is_cross = context_features is not None
+
+        def _attend(self, tokens, context):
+            h, d = cfg.attention_heads, cfg.attention_features
+            q = self.to_q(self.norm(tokens))
+            k, v = self.to_kv(self.norm_context(context)).chunk(2, dim=-1)
+            B, n, _ = q.shape
+            m = k.shape[1]
+            q = q.view(B, n, h, d).transpose(1, 2)
+            k = k.view(B, m, h, d).transpose(1, 2)
+            v = v.view(B, m, h, d).transpose(1, 2)
+            sim = torch.einsum("bhnd,bhmd->bhnm", q, k) * d ** -0.5
+            out = torch.einsum("bhnm,bhmd->bhnd", sim.softmax(dim=-1), v)
+            out = out.transpose(1, 2).reshape(B, n, h * d)
+            return tokens + self.to_out(out)
+
+        def forward(self, x, features=None, embedding=None, channels=None):
+            tokens = x.transpose(1, 2)  # (B,C,L) → (B,L,C)  ("Packed")
+            ctx = embedding if self.is_cross else tokens
+            return self._attend(tokens, ctx).transpose(1, 2)
+
+    class MergeCat(nn.Module):  # D4
+        def __init__(self, ch: int):
+            super().__init__()
+            self.conv = nn.Conv1d(ch * 2, ch, 1)
+
+        def forward(self, skip, x):
+            return self.conv(torch.cat([skip * cfg.skip_scale, x], dim=1))
+
+    def make_item(kind: str, level: int) -> "nn.Module":
+        ch = cfg.channels[level]
+        if kind == "res":
+            return Resnet(ch, cfg.resnet_groups)
+        if kind == "mod":
+            return Modulation(ch, cfg.modulation_features)
+        if kind == "inj":
+            return Inject(ch, cfg.context_channels[level], level)
+        if kind == "attn":
+            return Attention(ch)
+        if kind == "xattn":
+            return Attention(ch, context_features=cfg.embedding_features)
+        raise ValueError(kind)
+
+    class Block(nn.Module):  # D10
+        def __init__(self, level: int):
+            super().__init__()
+            n = len(cfg.channels)
+            in_ch = cfg.in_channels if level == 0 else cfg.channels[level - 1]
+            out_ch = (cfg.out_channels or cfg.in_channels) if level == 0 else in_ch
+            ch, f = cfg.channels[level], cfg.factors[level]
+            kinds = cfg.item_kinds(level)
+            self.downsample = nn.Conv1d(in_ch, ch, f, stride=f)
+            self.items_down = nn.ModuleList(make_item(k, level) for k in kinds)
+            self.inner = Block(level + 1) if level + 1 < n else None
+            self.skip_adapters = (
+                nn.ModuleList(MergeCat(ch) for _ in kinds) if self.inner is not None else None
+            )
+            self.items_up = nn.ModuleList(make_item(k, level) for k in kinds)
+            self.upsample = nn.ConvTranspose1d(ch, out_ch, f, stride=f)
+
+        def forward(self, x, features, embedding, channels):
+            x = self.downsample(x)
+            skips = []
+            for item in self.items_down:
+                x = item(x, features, embedding, channels)
+                skips.append(x)
+            if self.inner is not None:
+                x = self.inner(x, features, embedding, channels)
+                for j, item in enumerate(self.items_up):
+                    x = self.skip_adapters[j](skips[len(skips) - 1 - j], x)
+                    x = item(x, features, embedding, channels)
+            else:
+                for item in self.items_up:
+                    x = item(x, features, embedding, channels)
+            return self.upsample(x)
+
+    class UNetV0Recon(nn.Module):  # D2 registration order
+        def __init__(self):
+            super().__init__()
+            mf = cfg.modulation_features
+            self.embedder = NumberEmbedder(mf)
+            self.mlp = nn.Sequential(
+                nn.Sequential(nn.Linear(mf, mf), nn.GELU()),
+                nn.Sequential(nn.Linear(mf, mf), nn.GELU()),
+            )
+            if cfg.use_embedding_cfg:
+                self.fixed_embedding = nn.Embedding(
+                    cfg.embedding_max_length, cfg.embedding_features
+                )
+            self.net = Block(0)
+
+        def forward(self, x, time, embedding=None, channels=None,
+                    embedding_scale: float = 1.0):
+            features = self.mlp(F.gelu(self.embedder(time)))
+            if cfg.use_embedding_cfg:
+                assert embedding is not None
+                pos = torch.arange(embedding.shape[1], device=x.device)
+                fixed = self.fixed_embedding(pos)[None].expand(
+                    embedding.shape[0], -1, -1
+                )
+                if embedding_scale != 1.0:  # CFG plugin eval-time formula
+                    out = self.net(x, features, embedding, channels)
+                    out_masked = self.net(x, features, fixed, channels)
+                    return out_masked + (out - out_masked) * embedding_scale
+            return self.net(x, features, embedding, channels)
+
+    return UNetV0Recon()
+
+
+def build_encoder_recon(cfg: Encoder1dConfig):
+    """Instantiate the torch reconstruction of aep Encoder1d(cfg) (D11)."""
+    torch, nn = _torch()
+    F = torch.nn.functional
+
+    class ConvBlock1d(nn.Module):  # GN→SiLU→Conv(k3,p1)
+        def __init__(self, in_ch, out_ch, num_groups):
+            super().__init__()
+            self.groupnorm = nn.GroupNorm(num_groups, in_ch)
+            self.project = nn.Conv1d(in_ch, out_ch, 3, padding=1)
+
+        def forward(self, x):
+            return self.project(F.silu(self.groupnorm(x)))
+
+    class ResnetBlock1d(nn.Module):
+        def __init__(self, in_ch, out_ch, num_groups):
+            super().__init__()
+            self.block1 = ConvBlock1d(in_ch, out_ch, num_groups)
+            self.block2 = ConvBlock1d(out_ch, out_ch, num_groups)
+            self.to_out = (
+                nn.Conv1d(in_ch, out_ch, 1) if in_ch != out_ch else nn.Identity()
+            )
+
+        def forward(self, x):
+            return self.block2(self.block1(x)) + self.to_out(x)
+
+    class Patcher(ConvBlock1d):
+        def __init__(self, in_ch, out_ch, patch_size):
+            assert out_ch % patch_size == 0
+            super().__init__(in_ch, out_ch // patch_size, num_groups=1)
+            self.patch_size = patch_size
+
+        def forward(self, x):
+            x = super().forward(x)
+            if self.patch_size > 1:
+                b, c, lp = x.shape
+                x = x.view(b, c, lp // self.patch_size, self.patch_size)
+                x = x.permute(0, 1, 3, 2).reshape(b, c * self.patch_size, -1)
+            return x
+
+    class DownsampleBlock1d(nn.Module):
+        def __init__(self, in_ch, out_ch, factor, num_groups, num_layers):
+            super().__init__()
+            self.downsample = nn.Conv1d(
+                in_ch, out_ch, factor * 2 + 1, stride=factor, padding=factor
+            )
+            self.blocks = nn.ModuleList(
+                ResnetBlock1d(out_ch, out_ch, num_groups) for _ in range(num_layers)
+            )
+
+        def forward(self, x):
+            x = self.downsample(x)
+            for block in self.blocks:
+                x = block(x)
+            return x
+
+    class Encoder1dRecon(nn.Module):
+        def __init__(self):
+            super().__init__()
+            chs = [cfg.channels * m for m in cfg.multipliers]
+            self.to_in = Patcher(cfg.in_channels, chs[0], cfg.patch_size)
+            self.downsamples = nn.ModuleList(
+                DownsampleBlock1d(chs[i], chs[i + 1], cfg.factors[i],
+                                  cfg.resnet_groups, cfg.num_blocks[i])
+                for i in range(len(cfg.factors))
+            )
+
+        def forward(self, x, with_info: bool = False):
+            xs = [x]
+            x = self.to_in(x)
+            xs.append(x)
+            for down in self.downsamples:
+                x = down(x)
+                xs.append(x)
+            return (x, {"xs": xs}) if with_info else x
+
+    return Encoder1dRecon()
+
+
+# --------------------------------------------------------------------------
+# Manifests (ordered name/shape listing — no torch needed to consume)
+# --------------------------------------------------------------------------
+
+def unet_manifest(cfg: UNetV0Config) -> List[tuple]:
+    """Ordered [(key, shape)] as build_unet_recon(cfg).state_dict() yields.
+
+    Computed without torch so the converter can verify/ingest checkpoints
+    on machines where the manifest is all that is needed.
+    """
+    out: List[tuple] = []
+    mf, ef = cfg.modulation_features, cfg.embedding_features
+    heads_mid = cfg.attention_heads * cfg.attention_features
+    out += [("embedder.weights", (cfg.fourier_dim // 2,)),
+            ("embedder.to_out.weight", (mf, cfg.fourier_dim + 1)),
+            ("embedder.to_out.bias", (mf,))]
+    for i in (0, 1):
+        out += [(f"mlp.{i}.0.weight", (mf, mf)), (f"mlp.{i}.0.bias", (mf,))]
+    if cfg.use_embedding_cfg:
+        out.append(("fixed_embedding.weight", (cfg.embedding_max_length, ef)))
+
+    def item_entries(prefix: str, kind: str, level: int) -> List[tuple]:
+        ch = cfg.channels[level]
+        if kind == "res":
+            return [(f"{prefix}.gn1.weight", (ch,)), (f"{prefix}.gn1.bias", (ch,)),
+                    (f"{prefix}.conv1.weight", (ch, ch, 3)), (f"{prefix}.conv1.bias", (ch,)),
+                    (f"{prefix}.gn2.weight", (ch,)), (f"{prefix}.gn2.bias", (ch,)),
+                    (f"{prefix}.conv2.weight", (ch, ch, 3)), (f"{prefix}.conv2.bias", (ch,))]
+        if kind == "mod":
+            return [(f"{prefix}.to_scale_shift.weight", (ch * 2, mf)),
+                    (f"{prefix}.to_scale_shift.bias", (ch * 2,)),
+                    (f"{prefix}.norm.weight", (ch,)), (f"{prefix}.norm.bias", (ch,))]
+        if kind == "inj":
+            ctx = cfg.context_channels[level]
+            return [(f"{prefix}.conv.weight", (ch, ch + ctx, 1)),
+                    (f"{prefix}.conv.bias", (ch,))]
+        ctx_f = ef if kind == "xattn" else ch
+        return [(f"{prefix}.norm.weight", (ch,)), (f"{prefix}.norm.bias", (ch,)),
+                (f"{prefix}.norm_context.weight", (ctx_f,)),
+                (f"{prefix}.norm_context.bias", (ctx_f,)),
+                (f"{prefix}.to_q.weight", (heads_mid, ch)),
+                (f"{prefix}.to_kv.weight", (heads_mid * 2, ctx_f)),
+                (f"{prefix}.to_out.weight", (ch, heads_mid)),
+                (f"{prefix}.to_out.bias", (ch,))]
+
+    def block_entries(prefix: str, level: int) -> List[tuple]:
+        n = len(cfg.channels)
+        in_ch = cfg.in_channels if level == 0 else cfg.channels[level - 1]
+        out_ch = (cfg.out_channels or cfg.in_channels) if level == 0 else in_ch
+        ch, f = cfg.channels[level], cfg.factors[level]
+        kinds = cfg.item_kinds(level)
+        e: List[tuple] = [(f"{prefix}.downsample.weight", (ch, in_ch, f)),
+                          (f"{prefix}.downsample.bias", (ch,))]
+        for j, k in enumerate(kinds):
+            e += item_entries(f"{prefix}.items_down.{j}", k, level)
+        if level + 1 < n:
+            e += block_entries(f"{prefix}.inner", level + 1)
+            for j in range(len(kinds)):
+                e += [(f"{prefix}.skip_adapters.{j}.conv.weight", (ch, ch * 2, 1)),
+                      (f"{prefix}.skip_adapters.{j}.conv.bias", (ch,))]
+        for j, k in enumerate(kinds):
+            e += item_entries(f"{prefix}.items_up.{j}", k, level)
+        e += [(f"{prefix}.upsample.weight", (ch, out_ch, f)),
+              (f"{prefix}.upsample.bias", (out_ch,))]
+        return e
+
+    return out + block_entries("net", 0)
+
+
+def encoder_manifest(cfg: Encoder1dConfig) -> List[tuple]:
+    """Ordered [(key, shape)] for build_encoder_recon(cfg).state_dict()."""
+    chs = [cfg.channels * m for m in cfg.multipliers]
+    out: List[tuple] = [
+        ("to_in.groupnorm.weight", (cfg.in_channels,)),
+        ("to_in.groupnorm.bias", (cfg.in_channels,)),
+        ("to_in.project.weight", (chs[0] // cfg.patch_size, cfg.in_channels, 3)),
+        ("to_in.project.bias", (chs[0] // cfg.patch_size,)),
+    ]
+    for i, f in enumerate(cfg.factors):
+        ic, oc = chs[i], chs[i + 1]
+        p = f"downsamples.{i}"
+        out += [(f"{p}.downsample.weight", (oc, ic, f * 2 + 1)),
+                (f"{p}.downsample.bias", (oc,))]
+        for j in range(cfg.num_blocks[i]):
+            for b in ("block1", "block2"):
+                out += [(f"{p}.blocks.{j}.{b}.groupnorm.weight", (oc,)),
+                        (f"{p}.blocks.{j}.{b}.groupnorm.bias", (oc,)),
+                        (f"{p}.blocks.{j}.{b}.project.weight", (oc, oc, 3)),
+                        (f"{p}.blocks.{j}.{b}.project.bias", (oc,))]
+    return out

@@ -31,9 +31,38 @@ class SyncFusionDiffusion:
 
     # ------------------------------------------------------------- setup
     @classmethod
-    def from_config(cls, model_cfg: Optional[dict] = None, dtype=jnp.float32):
+    def from_config(
+        cls,
+        model_cfg: Optional[dict] = None,
+        dtype=jnp.float32,
+        compat: Optional[bool] = None,
+    ):
         """Build from an exp/model/diffusion.yaml-style config node (or the
-        reference defaults when None)."""
+        reference defaults when None).
+
+        ``compat=True`` (or ``model.compat: true`` in the config) selects the
+        weight-compatible a-unet twins (models/adp_compat.py) whose param
+        trees load the reference's published torch checkpoints through
+        models/adp_convert.py; default is the TPU-first re-design.
+        """
+        if compat is None:
+            compat = bool(model_cfg and model_cfg.get("compat", False))
+        if compat:
+            from syncfusion_tpu.models.adp_compat import Encoder1dCompat, UNetV0Compat
+            from syncfusion_tpu.models.adp_torch_recon import (
+                Encoder1dConfig,
+                UNetV0Config,
+            )
+
+            if model_cfg is None:
+                ucfg, ecfg = UNetV0Config(), Encoder1dConfig()
+            else:
+                ucfg = UNetV0Config.from_node(model_cfg["model"])
+                ecfg = Encoder1dConfig.from_node(model_cfg["onsets_encoder"])
+            return cls(
+                unet=UNetV0Compat(cfg=ucfg, dtype=dtype),
+                onsets_encoder=Encoder1dCompat(cfg=ecfg, dtype=dtype),
+            )
         if model_cfg is None:
             return cls(unet=UNet1d(dtype=dtype), onsets_encoder=Encoder1d(dtype=dtype))
         m = model_cfg["model"]

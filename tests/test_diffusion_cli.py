@@ -126,3 +126,53 @@ def test_generate_and_fad_cli_smoke(tmp_path):
     assert len(list(gen.glob("*.wav"))) == 3
     metrics = (gen / "metrics.csv").read_text()
     assert "fad" in metrics
+
+
+@pytest.mark.slow
+def test_generate_cli_from_reference_torch_ckpt(tmp_path):
+    """model_path=<file>.ckpt routes through the weight-compatible a-unet
+    twins + converter (the reference's published-checkpoint eval path)."""
+    torch = pytest.importorskip("torch")
+    import evaluate_diffusion
+    from syncfusion_tpu.models.adp_torch_recon import (
+        Encoder1dConfig, UNetV0Config, build_encoder_recon, build_unet_recon,
+    )
+
+    ucfg = UNetV0Config(
+        channels=(4, 8, 16), factors=(1, 4, 4), items=(1, 1, 1),
+        attentions=(0, 0, 1), cross_attentions=(1, 1, 1),
+        context_channels=(2, 8, 16), attention_heads=2, attention_features=4,
+        embedding_features=8,
+    )
+    ecfg = Encoder1dConfig(multipliers=(1, 1, 4, 8), factors=(1, 4, 4),
+                           num_blocks=(1, 1, 1))
+    sd = {}
+    for k, v in build_unet_recon(ucfg).state_dict().items():
+        sd[f"model.net.{k}"] = v
+    for k, v in build_encoder_recon(ecfg).state_dict().items():
+        sd[f"onsets_encoder.{k}"] = v
+    ckpt = tmp_path / "epoch=784-valid_loss=0.008.ckpt"
+    torch.save({"state_dict": sd}, ckpt)
+
+    shard = tmp_path / "test_shard_1.tar"
+    _make_shard(shard)
+    gen = tmp_path / "gh-gen-ckpt"
+    evaluate_diffusion.main([
+        "exp=evaluate_gh_gen",
+        f"work_dir={tmp_path}",
+        f"experiment_path={gen}",
+        f"experiment.dataset.path={shard}",
+        "evaluation=null",
+        f"model_path={ckpt}",
+        "sample_rate=8000",
+        f"gen_length={L}",
+        "cut_length=1024",
+        "experiment.num_steps=2",
+        "experiment.batch_size=2",
+        "experiment.downsample_rate=4000",
+        *TINY_MODEL,
+    ])
+    wavs = list(gen.glob("*.wav"))
+    assert len(wavs) == 3
+    data = np.concatenate([np.fromfile(w, dtype=np.uint8) for w in wavs])
+    assert data.size > 0
