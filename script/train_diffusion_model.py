@@ -98,16 +98,32 @@ def main(argv=None) -> None:
 
     if cfg.get("save"):
         # SavePytorchModelAndStopCallback equivalent (reference
-        # main/utils.py:200-219 + train_diffusion_model.py:42-50): export one
-        # submodule's params as a standalone orbax checkpoint, then stop.
-        attr = cfg.save
+        # main/utils.py:200-219 + train_diffusion_model.py:42-50): export any
+        # (dotted) param subtree as a standalone orbax checkpoint, then stop —
+        # e.g. +save=model, +save=onsets_encoder, +save=unet.net.inner.
+        attr = str(cfg.save)
         key_map = {"model": "unet", "unet": "unet",
                    "onsets_encoder": "encoder", "encoder": "encoder"}
-        sub = {key_map[attr]: state.params[key_map[attr]]}
-        export = Checkpointer(CheckpointConfig(directory=run_dir / f"export_{attr}"))
-        export.save(int(state.step), sub)
+        parts = attr.split(".")
+        assert parts[0] in key_map, (
+            f"+save={attr}: unknown root '{parts[0]}' — the reference asserts "
+            "the attribute exists on the module (main/utils.py:208); use one "
+            f"of {sorted(key_map)}"
+        )
+        sub = state.params[key_map[parts[0]]]
+        for seg in parts[1:]:
+            if isinstance(sub, dict) and seg not in sub and "params" in sub:
+                sub = sub["params"]  # flax variable-collection wrapper
+            assert isinstance(sub, dict) and seg in sub, (
+                f"+save={attr}: no subtree '{seg}'; available: "
+                f"{sorted(sub)[:10] if isinstance(sub, dict) else type(sub)}"
+            )
+            sub = sub[seg]
+        tag = attr.replace(".", "_")
+        export = Checkpointer(CheckpointConfig(directory=run_dir / f"export_{tag}"))
+        export.save(int(state.step), {tag: sub})
         export.wait()
-        log.info("exported %s to %s and stopping", attr, run_dir / f"export_{attr}")
+        log.info("exported %s to %s and stopping", attr, run_dir / f"export_{tag}")
         return
 
     train_fn = instantiate(cfg.datamodule.train_dataset)

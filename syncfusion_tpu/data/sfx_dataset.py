@@ -64,7 +64,9 @@ def _track_slices(
 
     onset_idx = [int(k * sr) for k in onset_metadata.keys()]
     texts = [t for t in onset_metadata.values() if t is not None and "None" not in t]
-    text_pool = texts if texts else [""]
+    # ONE label text per track, drawn before the chunk loop — every chunk of
+    # a multi-chunk track shares it (reference dataset_diffusion.py:59-65).
+    text = str(rng.choice(texts)) if texts else ""
     assert onset_idx, f"track {filename} has no onsets"
 
     onset = np.zeros_like(wav)
@@ -111,7 +113,7 @@ def _track_slices(
             wav=wav_chunk,
             onsets=pred_chunk,
             cond=cond,
-            text=str(rng.choice(text_pool)),
+            text=text,
             filename=filename,
         )
 

@@ -181,7 +181,10 @@ class VQGANTrainer:
         updates, opt_g = self.tx_g.update(grads, state.opt_state_g, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # ---- D update (fresh reconstruction from updated G, detached) --
+        # ---- D update: trains on the PRE-update G's reconstruction
+        # (detached), matching the reference's Lightning optimizer
+        # alternation — both optimizer_idx branches see the same batch's
+        # forward (specvqgan/models/vqgan.py:140-222). ----------------
         def d_loss_fn(disc_params):
             logits_real, mut = self.disc.apply(
                 {"params": disc_params, "batch_stats": state.disc_stats},

@@ -169,3 +169,27 @@ def test_device_prefetch_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_text_drawn_once_per_track(shard):
+    """Reference picks ONE random label per track BEFORE the chunk loop
+    (dataset_diffusion.py:59-65) — all chunks of a track share it."""
+    items = list(
+        create_sfx_dataset(
+            str(shard), sample_rate=SR, chunk_size=CHUNK,
+            cut_prefix=True, one_chunk_per_track=False, seed=3,
+        )
+    )
+    per_track = {}
+    for it in items:
+        per_track.setdefault(it.filename, set()).add(it.text)
+    assert len(per_track) == 3
+    for name, texts in per_track.items():
+        assert len(texts) == 1, f"{name} got {texts} — text must be per-track"
+    # across seeds the draw actually varies (it is random, not first-label)
+    seen = set()
+    for seed in range(8):
+        its = list(create_sfx_dataset(str(shard), sample_rate=SR,
+                                      chunk_size=CHUNK, seed=seed))
+        seen.update(it.text for it in its)
+    assert seen == {"hit wood", "scratch metal"}

@@ -176,3 +176,28 @@ def test_generate_cli_from_reference_torch_ckpt(tmp_path):
     assert len(wavs) == 3
     data = np.concatenate([np.fromfile(w, dtype=np.uint8) for w in wavs])
     assert data.size > 0
+
+
+@pytest.mark.slow
+def test_save_exports_dotted_subtree_and_stops(tmp_path, monkeypatch):
+    """+save= accepts any dotted param subtree (reference
+    main/utils.py:200-219 exports an arbitrary module attribute)."""
+    import train_diffusion_model
+
+    monkeypatch.setenv("DIR_LOGS", f"/{tmp_path.name}-logs")
+    logs = tmp_path / "logs"
+    train_diffusion_model.main([
+        "exp=train_diffusion_gh",
+        f"logs_dir={logs}",
+        "+save=model.down_0",
+        *TINY_OVERRIDES,
+    ])
+    runs = sorted((logs / "runs").iterdir())
+    exp = runs[-1] / "export_model_down_0"
+    assert exp.exists() and any(exp.iterdir())
+
+    with pytest.raises(AssertionError, match="no subtree 'nope'"):
+        train_diffusion_model.main([
+            "exp=train_diffusion_gh", f"logs_dir={logs}",
+            "+save=model.nope", *TINY_OVERRIDES,
+        ])
