@@ -36,11 +36,10 @@ def _dense(sd, key):
     return {"kernel": t_linear(sd[f"{key}.weight"]), "bias": sd[f"{key}.bias"]}
 
 
-def convert_laion_clap(state_dict: dict) -> dict:
-    sd = _strip(state_dict)
+def _convert_audio(sd: dict) -> dict:
+    """laion-named audio tower keys → top-level param entries
+    (audio_branch, mel_bn_*, audio_projection)."""
     p: dict = {}
-
-    # ----------------------------------------------------------- HTSAT
     ab = "audio_branch"
     audio: dict = {}
     audio["patch_embed"] = {
@@ -88,6 +87,17 @@ def convert_laion_clap(state_dict: dict) -> dict:
     p["mel_bn_mean"] = sd[f"{ab}.bn0.running_mean"]
     p["mel_bn_var"] = sd[f"{ab}.bn0.running_var"]
 
+    p["audio_projection"] = {
+        "linear1": _dense(sd, "audio_projection.0"),
+        "linear2": _dense(sd, "audio_projection.2"),
+    }
+    return p
+
+
+def convert_laion_clap(state_dict: dict) -> dict:
+    sd = _strip(state_dict)
+    p: dict = _convert_audio(sd)
+
     # ---------------------------------------------------------- RoBERTa
     tb = "text_branch"
     text: dict = {
@@ -119,9 +129,54 @@ def convert_laion_clap(state_dict: dict) -> dict:
     p["text_branch"] = text
 
     # ------------------------------------------------------- projections
-    for head in ("audio_projection", "text_projection"):
-        p[head] = {
-            "linear1": _dense(sd, f"{head}.0"),
-            "linear2": _dense(sd, f"{head}.2"),
-        }
+    p["text_projection"] = {
+        "linear1": _dense(sd, "text_projection.0"),
+        "linear2": _dense(sd, "text_projection.2"),
+    }
     return {"params": p}
+
+
+def hf_clap_audio_to_laion(state_dict: dict) -> dict:
+    """Rename ``transformers`` CLAP audio-tower keys to laion_clap names.
+
+    Covers ClapAudioModel(WithProjection) state dicts
+    (``audio_model.audio_encoder.*`` + ``audio_projection.linear{1,2}``):
+    HF splits the fused qkv into query/key/value and renames the Swin block
+    internals; laion fuses qkv and uses timm-style names.  Used by the live
+    HF parity test and by users converting HF-format CLAP checkpoints.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: dict = {}
+    qkv: dict = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "relative_position_index" in k:
+            continue
+        k = k.replace("audio_model.audio_encoder.", "audio_branch.")
+        k = k.replace("audio_projection.linear1.", "audio_projection.0.")
+        k = k.replace("audio_projection.linear2.", "audio_projection.2.")
+        k = k.replace(".layernorm_before.", ".norm1.")
+        k = k.replace(".layernorm_after.", ".norm2.")
+        k = k.replace(".attention.output.dense.", ".attn.proj.")
+        k = k.replace(".attention.self.relative_position_bias_table",
+                      ".attn.relative_position_bias_table")
+        k = k.replace(".intermediate.dense.", ".mlp.fc1.")
+        k = k.replace(".output.dense.", ".mlp.fc2.")
+        k = k.replace("audio_branch.batch_norm.", "audio_branch.bn0.")
+        if ".attention.self." in k:  # query/key/value → fused qkv
+            base, leaf = k.rsplit(".attention.self.", 1)
+            which, kind = leaf.split(".")
+            qkv.setdefault((base, kind), {})[which] = v
+            continue
+        out[k] = v
+    for (base, kind), parts in qkv.items():
+        out[f"{base}.attn.qkv.{kind}"] = np.concatenate(
+            [parts["query"], parts["key"], parts["value"]], axis=0
+        )
+    return out
+
+
+def convert_hf_clap_audio(state_dict: dict) -> dict:
+    """transformers ClapAudioModelWithProjection state dict → the audio
+    subtree of :class:`~syncfusion_tpu.models.clap.model.ClapModel` params
+    (audio_branch, mel_bn_*, audio_projection)."""
+    return _convert_audio(hf_clap_audio_to_laion(state_dict))

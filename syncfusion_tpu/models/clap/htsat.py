@@ -11,6 +11,12 @@ samples); shorter audio is repeat-padded, longer is truncated — the
 "repeatpad"/"rand_trunc" policy of laion_clap used by
 ``get_audio_embedding_from_data`` (reference call site:
 main/module_diffusion.py:64-67).
+
+Every stage of this pipeline is live-verified against transformers' CLAP
+port (whose default ClapAudioConfig is htsat-tiny-unfused) in
+tests/test_clap_hf_parity.py: slaney mel bank, repeatpad, bicubic frame
+interpolation, the Swin trunk, token-mean latent pooling, and the
+projection MLP.
 """
 
 from __future__ import annotations
@@ -36,25 +42,55 @@ TARGET_T = SPEC_SIZE * FREQ_RATIO  # 1024 frames
 
 
 def clap_mel(wav: jax.Array) -> jax.Array:
-    """(B, 480000) audio → (B, frames, 64) power-dB mel (torchaudio
-    MelSpectrogram(power=2) + AmplitudeToDB semantics)."""
+    """(B, 480000) audio → (B, frames, 64) power-dB mel.
+
+    laion_clap's NON-fusion path (the reference's HTSAT-tiny,
+    enable_fusion=False) uses the librosa-style filterbank — slaney scale
+    with slaney area-norm — not torchaudio's htk bank (oracle:
+    ``transformers.ClapFeatureExtractor.mel_filters_slaney``, used whenever
+    ``truncation != "fusion"``; parity pinned in tests/test_clap_hf_parity.py).
+    dB conversion is power_to_db: 10·log10(max(x, 1e-10)).
+    """
     spec = spectrogram(wav, n_fft=N_FFT, hop_length=HOP, power=2.0)
     fb = jnp.asarray(
-        mel_filterbank(CLAP_SR, N_FFT, N_MELS, FMIN, FMAX, scale="htk", norm=None)
+        mel_filterbank(CLAP_SR, N_FFT, N_MELS, FMIN, FMAX,
+                       scale="slaney", norm="slaney")
     )
     mel = jnp.einsum("mf,bft->bmt", fb, spec)
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     return jnp.transpose(db, (0, 2, 1))  # (B, T, mels)
 
 
+def _torch_bicubic_matrix(in_len: int, out_len: int, a: float = -0.75) -> np.ndarray:
+    """1-D cubic-convolution resampling matrix, torch
+    ``interpolate(mode="bicubic", align_corners=True)`` semantics
+    (source positions o·(in−1)/(out−1), kernel a=−0.75, clamped borders)."""
+    W = np.zeros((out_len, in_len), np.float64)
+    for o in range(out_len):
+        x = o * (in_len - 1) / (out_len - 1) if out_len > 1 else 0.0
+        x0 = int(np.floor(x))
+        t = x - x0
+        for k in range(-1, 3):
+            d = abs(t - k)
+            if d <= 1.0:
+                w = (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0
+            elif d < 2.0:
+                w = a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a
+            else:
+                continue
+            W[o, min(max(x0 + k, 0), in_len - 1)] += w
+    return W
+
+
 def reshape_mel_to_image(mel: jax.Array) -> jax.Array:
-    """(B, T, 64) → (B, 256, 256, 1): crop/pad T to 1024, stack
-    freq_ratio=4 time quarters vertically (HTSAT reshape_wav2img)."""
+    """(B, T, 64) → (B, 256, 256, 1): bicubic-resample T to 1024 frames
+    (HTSAT reshape_wav2img / HF ClapAudioEncoder.reshape_mel2img:
+    ``interpolate(mode="bicubic", align_corners=True)`` — a 10 s clip gives
+    1001 frames), then stack freq_ratio=4 time quarters vertically."""
     b, t, f = mel.shape
-    if t < TARGET_T:
-        mel = jnp.pad(mel, ((0, 0), (0, TARGET_T - t), (0, 0)))
-    else:
-        mel = mel[:, :TARGET_T]
+    if t != TARGET_T:
+        W = jnp.asarray(_torch_bicubic_matrix(t, TARGET_T), mel.dtype)
+        mel = jnp.einsum("ot,btf->bof", W, mel)
     x = jnp.transpose(mel, (0, 2, 1))  # (B, F, T)
     x = x.reshape(b, f, FREQ_RATIO, TARGET_T // FREQ_RATIO)
     x = jnp.transpose(x, (0, 2, 1, 3))  # (B, ratio, F, T/ratio)
@@ -100,10 +136,15 @@ class HTSAT(nn.Module):
 
 
 def prepare_audio(wav: np.ndarray | jax.Array, length: int = CLAP_SAMPLES):
-    """Repeat-pad / truncate to 10 s (laion_clap 'repeatpad' + truncation)."""
+    """Repeat-pad / truncate to 10 s — laion_clap 'repeatpad' exactly:
+    tile ⌊length/t⌋ times, then ZERO-pad the remainder (not a partial
+    repeat; oracle: transformers ClapFeatureExtractor padding='repeatpad').
+    Longer audio is truncated (the deterministic variant of rand_trunc)."""
     xp = jnp if isinstance(wav, jnp.ndarray) else np
     t = wav.shape[-1]
     if t < length:
-        reps = int(np.ceil(length / t))
+        reps = length // t
         wav = xp.tile(wav, (1,) * (wav.ndim - 1) + (reps,))
+        pad = [(0, 0)] * (wav.ndim - 1) + [(0, length - wav.shape[-1])]
+        wav = xp.pad(wav, pad)
     return wav[..., :length]
