@@ -43,3 +43,52 @@ def test_dp_sampler_runs_and_matches_single_device():
     ref = model.sample(params, noise, jnp.asarray(onsets), jnp.asarray(emb),
                        num_steps=2, embedding_scale=2.0)
     np.testing.assert_allclose(out, np.asarray(ref)[:, :, 0], atol=2e-5)
+
+
+def test_onset_syncbn_mesh_equivalence():
+    """sync-BN under GSPMD: the BatchNorm batch statistics are computed over
+    the GLOBAL batch (XLA inserts the cross-device reduction), so one train
+    step on mesh=1 and mesh=8 must produce identical running stats, loss and
+    updated params — the reference's Lightning sync_batchnorm=True semantics
+    (script/train_onset_model.py:19-27) with no explicit pmean anywhere."""
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.core.mesh import MeshSpec
+    from syncfusion_tpu.models.onset_net import VideoOnsetNet
+    from syncfusion_tpu.train.onset_trainer import OnsetTrainer
+
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(8, 4, 32, 32, 3)).astype(np.float32)
+    labels = (rng.uniform(size=(8, 4)) > 0.7).astype(np.float32)
+    batch = {"frames": frames, "label": labels}
+
+    results = {}
+    for n in (1, 8):
+        mesh = create_mesh(MeshSpec(data=n, model=1), devices=jax.devices()[:n])
+        trainer = OnsetTrainer(VideoOnsetNet(layers=(1, 1, 1, 1)), mesh=mesh)
+        state = trainer.init(jax.random.key(0), frames_shape=(1, 4, 32, 32, 3))
+        state, metrics, logits = trainer.train_step(state, batch)
+        results[n] = (
+            jax.tree.map(np.asarray, state.batch_stats),
+            float(metrics["loss/train"]),
+            np.asarray(logits),
+            jax.tree.map(np.asarray, state.params),
+        )
+
+    stats1, loss1, logits1, params1 = results[1]
+    stats8, loss8, logits8, params8 = results[8]
+    assert abs(loss1 - loss8) < 1e-5
+    np.testing.assert_allclose(logits1, logits8, atol=1e-4)
+    for (p1, a), (p8, b) in zip(
+        jax.tree_util.tree_leaves_with_path(stats1),
+        jax.tree_util.tree_leaves_with_path(stats8),
+    ):
+        assert p1 == p8
+        np.testing.assert_allclose(
+            a, b, atol=1e-5, err_msg=f"batch stat diverged: {jax.tree_util.keystr(p1)}"
+        )
+    # NOTE: post-Adam params are NOT compared — Adam's m/√v normalizes
+    # near-zero gradients to ±lr, so float reassociation across the 8-way
+    # reduction can flip a tiny gradient's sign and show up as a full ±2·lr
+    # param delta.  Loss/logits/batch-stats equality above is the actual
+    # sync-BN + global-grad contract.
