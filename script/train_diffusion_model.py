@@ -193,8 +193,26 @@ def _log_samples(cfg, model, state, embedder, metrics_logger, step):
                 state.params, noise, jnp.asarray(b["onsets"]), jnp.asarray(emb),
                 num_steps=steps, embedding_scale=sl.embedding_scale,
             ))[:, :, 0]
+            # mel panels next to the audio (reference SampleLogger logs
+            # wandb.Audio + mel heatmaps, main/module_diffusion.py:120-152:
+            # MelSpectrogram n_fft 1024 hop 512 n_mels 80 slaney-norm +
+            # power_to_db)
+            from syncfusion_tpu.eval.panels import write_spec_panel
+            from syncfusion_tpu.ops.mel import mel_spectrogram, power_to_db
+
+            mels = np.asarray(power_to_db(mel_spectrogram(
+                jnp.asarray(wavs), sample_rate=cfg.sampling_rate,
+                n_fft=1024, hop_length=512, n_mels=80, power=2.0,
+                norm="slaney",
+            )))
             for i, w in enumerate(wavs):
                 metrics_logger.log_audio(f"sample_{i}", w, cfg.sampling_rate, step)
+                write_spec_panel(
+                    metrics_logger.run_dir / "media",
+                    f"mel_spectrogram_{i}_{steps}steps",
+                    {"sample": mels[i]},
+                    step,
+                )
     except Exception as e:  # sampling must never kill training
         log.warning("sample logging failed: %s", e)
 

@@ -71,10 +71,13 @@ def make_dataset(cfg, split: str, augment_override=None) -> GreatestHitsDataset:
     )
 
 
-def evaluate(trainer, state, dataset, cfg, mesh, annotations_dir=None):
+def evaluate(trainer, state, dataset, cfg, mesh, annotations_dir=None,
+             label_plots_dir=None, label_plot_batches=4):
     losses, all_metrics = [], []
     n_data = mesh.shape["data"]
-    for batch in loader(dataset, cfg.data.batch_size, num_workers=cfg.data.num_workers):
+    for batch_idx, batch in enumerate(
+        loader(dataset, cfg.data.batch_size, num_workers=cfg.data.num_workers)
+    ):
         n = batch["frames"].shape[0]
         if n % n_data == 0:
             logits = np.asarray(trainer.forward(state, shard_batch(batch["frames"], mesh)))
@@ -86,6 +89,18 @@ def evaluate(trainer, state, dataset, cfg, mesh, annotations_dir=None):
         all_metrics.append(onset_metrics(logits, batch["label"]))
         if annotations_dir is not None:
             write_chunk_annotations(annotations_dir, batch, logits)
+        if label_plots_dir is not None and batch_idx < label_plot_batches:
+            # target-vs-predicted-probability line plots per chunk (the
+            # reference's wandb label plots, main/module_onset.py:231-261)
+            from syncfusion_tpu.eval.panels import write_label_plot
+
+            probs = 1.0 / (1.0 + np.exp(-logits))
+            for i in range(len(probs)):
+                name = batch.get("video_name", [f"item{i}"] * len(probs))[i]
+                write_label_plot(
+                    label_plots_dir, f"labels_b{batch_idx}-{i}_{name}",
+                    batch["label"][i], probs[i],
+                )
     agg = {k: float(np.nanmean([m[k] for m in all_metrics])) for k in all_metrics[0]}
     agg["loss"] = float(np.mean(losses))
     return agg
@@ -141,7 +156,9 @@ def main(argv=None) -> None:
         split = "test" if args.subcommand == "test" else "val"
         dataset = make_dataset(cfg, split, augment_override=False)
         ann_dir = run_dir / "media/annotations" if split == "test" else None
-        agg = evaluate(trainer, state, dataset, cfg, mesh, annotations_dir=ann_dir)
+        plots_dir = run_dir / "media/labels" if split == "test" else None
+        agg = evaluate(trainer, state, dataset, cfg, mesh,
+                       annotations_dir=ann_dir, label_plots_dir=plots_dir)
         if ann_dir is not None:
             concat_annotations(ann_dir)
         metrics_logger.log({f"{k}/{split}": v for k, v in agg.items()})

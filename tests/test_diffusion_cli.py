@@ -85,8 +85,10 @@ def test_train_diffusion_cli_smoke(tmp_path, monkeypatch):
     assert any("train_loss" in r for r in records)
     assert any("valid_loss" in r for r in records)
     assert list((runs[-1] / "ckpts").iterdir()), "checkpoint written"
-    # SampleLogger equivalent wrote audio artifacts
+    # SampleLogger equivalent wrote audio artifacts + mel panels
+    # (reference main/module_diffusion.py:103-152 logs both)
     assert list((runs[-1] / "media").glob("*.wav"))
+    assert list((runs[-1] / "media").glob("mel_spectrogram_*.png"))
 
 
 @pytest.mark.slow

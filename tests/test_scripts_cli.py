@@ -163,3 +163,6 @@ def test_onset_cli_fit_and_test(tmp_path, monkeypatch):
     ann = runs2[-1] / "media/annotations"
     pred_files = list((ann / "pred").glob("*.times.csv"))
     assert len(pred_files) == 2  # merged per-video prediction CSVs
+    # label line plots (reference main/module_onset.py:231-261 parity)
+    plots = list((runs2[-1] / "media/labels").glob("labels_*.png"))
+    assert plots, "no label plots written"
