@@ -100,23 +100,61 @@ def tokenize(
     max_length: int = 77,
     tokenizer_path: Optional[str] = None,
 ) -> dict[str, np.ndarray]:
-    """RoBERTa BPE tokenization via transformers (local files only).
+    """RoBERTa BPE tokenization with a hermetic fallback chain.
 
-    The reference pins transformers==4.30.2 for this exact coupling
-    (README.md:44-45); any roberta-base tokenizer files work.
+    1. transformers AutoTokenizer (``tokenizer_path`` or the local
+       roberta-base cache) — the reference pins transformers for this exact
+       coupling (README.md:44-45).
+    2. Pure-python byte-level BPE (models/clap/bpe.py) reading
+       ``vocab.json``/``merges.txt`` next to ``tokenizer_path`` — identical
+       ids, no transformers needed.
+    3. Deterministic hashed fallback — NO files required; the text path
+       runs hermetically (correct specials/shape/mask) but ids are not
+       roberta ids.  Logged loudly; smoke/throughput use only.
     """
     global _TOKENIZER
-    if _TOKENIZER is None:
-        from transformers import AutoTokenizer
+    from syncfusion_tpu.models.clap import bpe
 
-        _TOKENIZER = AutoTokenizer.from_pretrained(
-            tokenizer_path or "roberta-base", local_files_only=tokenizer_path is None
-        )
-    enc = _TOKENIZER(
-        texts, padding="max_length", truncation=True,
-        max_length=max_length, return_tensors="np",
-    )
-    return {
-        "input_ids": np.asarray(enc["input_ids"]),
-        "attention_mask": np.asarray(enc["attention_mask"]),
-    }
+    if _TOKENIZER is None:
+        try:
+            from transformers import AutoTokenizer
+
+            hf = AutoTokenizer.from_pretrained(
+                tokenizer_path or "roberta-base",
+                local_files_only=tokenizer_path is None,
+            )
+
+            def _hf(texts, max_length):
+                enc = hf(texts, padding="max_length", truncation=True,
+                         max_length=max_length, return_tensors="np")
+                return {
+                    "input_ids": np.asarray(enc["input_ids"]),
+                    "attention_mask": np.asarray(enc["attention_mask"]),
+                }
+
+            _TOKENIZER = _hf
+        except Exception as e:
+            files = bpe.find_bpe_files(tokenizer_path)
+            if files is not None:
+                tok = bpe.ByteLevelBPE(*files)
+
+                def _pure(texts, max_length):
+                    return bpe.encode_batch(tok, texts, max_length)
+
+                _TOKENIZER = _pure
+            else:
+                import logging
+
+                logging.getLogger("syncfusion_tpu.clap").warning(
+                    "no roberta tokenizer files available (%s) — using the "
+                    "deterministic HASHED fallback: text conditioning runs "
+                    "but token ids are NOT roberta ids (models/clap/bpe.py)",
+                    e,
+                )
+                tok = bpe.HashedFallback()
+
+                def _hashed(texts, max_length):
+                    return bpe.encode_batch(tok, texts, max_length)
+
+                _TOKENIZER = _hashed
+    return _TOKENIZER(texts, max_length)

@@ -32,6 +32,7 @@ def build_embedder(model_cfg: dict):
 
     return ClapEmbedder(
         checkpoint_path=model_cfg.get("embedder_checkpoint"),
+        tokenizer_path=model_cfg.get("tokenizer_path"),
         enable_fusion=node.get("enable_fusion", False),
         amodel=node.get("amodel", "HTSAT-tiny"),
     )
