@@ -36,7 +36,10 @@ BATCH = 8
 def main() -> None:
     from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 
-    model = SyncFusionDiffusion.from_config(None, dtype=jnp.bfloat16)
+    # fold_cap=256: folded-layout execution of the shallow UNet levels
+    # (models/unet1d_folded.py) — numerically equivalent to the plain path,
+    # 2.05x faster on-chip (measured via script/perf_sweep.py, see README).
+    model = SyncFusionDiffusion.from_config(None, dtype=jnp.bfloat16, fold_cap=256)
     params = model.init(jax.random.key(0), LENGTH, batch=1)
 
     key = jax.random.key(1)

@@ -1,0 +1,108 @@
+"""Perf sweep for the serving path: plain vs folded layout vs param dtype.
+
+Runs the full-size flagship sampler (150-step CFG, batch 8, 2^18 samples) on
+the attached TPU chip under several execution configs and prints a JSON line
+per variant.  Used to pick bench.py defaults; results recorded in README.
+
+Usage: python script/perf_sweep.py [variant ...]
+Variants: plain folded256 folded1024 plain_bf16p folded256_bf16p
+(default: all).  Serialize against other TPU jobs — the tunnel is exclusive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+
+LENGTH = 2**18
+NUM_STEPS = 150
+BATCH = 8
+SAMPLE_RATE = 48000
+CLIP_SECONDS = 8.0
+BASELINE = 50.0 / 8.0
+
+VARIANTS = {
+    "plain": dict(fold_cap=0, bf16_params=False),
+    "folded256": dict(fold_cap=256, bf16_params=False),
+    "folded1024": dict(fold_cap=1024, bf16_params=False),
+    "plain_bf16p": dict(fold_cap=0, bf16_params=True),
+    "folded256_bf16p": dict(fold_cap=256, bf16_params=True),
+}
+
+
+def run(name: str, fold_cap: int, bf16_params: bool) -> None:
+    from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+
+    model = SyncFusionDiffusion.from_config(
+        None, dtype=jnp.bfloat16, fold_cap=fold_cap
+    )
+    params = model.init(jax.random.key(0), LENGTH, batch=1)
+    if bf16_params:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
+
+    noise = jax.random.normal(jax.random.key(1), (BATCH, LENGTH, 1), jnp.float32)
+    onsets = jnp.zeros((BATCH, LENGTH, 1), jnp.float32)
+    onsets = onsets.at[:, jnp.arange(BATCH) * 9600 + 4800, 0].set(1.0)
+    embedding = jax.random.normal(jax.random.key(2), (BATCH, 1, 512), jnp.float32)
+
+    @jax.jit
+    def generate(params, noise):
+        return model.sample(
+            params, noise, onsets, embedding,
+            num_steps=NUM_STEPS, embedding_scale=2.0,
+        )
+
+    t0 = time.perf_counter()
+    generate(params, noise).block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    n_runs = 2
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        out = generate(params, noise)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_runs
+
+    audio_seconds = BATCH * LENGTH / SAMPLE_RATE
+    clips_per_min = (audio_seconds / CLIP_SECONDS) / dt * 60.0
+    print(
+        json.dumps(
+            {
+                "variant": name,
+                "clips_per_min_per_chip": round(clips_per_min, 2),
+                "seconds_per_batch": round(dt, 3),
+                "compile_s": round(compile_s, 1),
+                "vs_baseline": round(clips_per_min / BASELINE, 3),
+            }
+        ),
+        flush=True,
+    )
+    del params
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(VARIANTS)
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
+    for name in names:
+        run(name, **VARIANTS[name])
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,13 @@ def main(argv=None) -> None:
     ap.add_argument("--embedding_scale", type=float, default=2.0)
     ap.add_argument("--onset_layers", type=int, nargs=4, default=(2, 2, 2, 2))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mux_video", default=None,
+                    help="also write an .mp4 with the generated audio muxed "
+                         "onto --source_video (ffmpeg; reference "
+                         "attach_audio_to_video parity)")
+    ap.add_argument("--source_video", default=None,
+                    help="source video file for --mux_video")
+    ap.add_argument("--mux_fps", type=int, default=15)
     ap.add_argument("--override", action="append", default=[],
                     help="config overrides, e.g. model.model.channels=[4,8]")
     args = ap.parse_args(argv)
@@ -146,6 +153,17 @@ def main(argv=None) -> None:
     )(params, noise))[0, :, 0]
     write_wav(args.output, wav, SR)
     log.info("wrote %s (%.2f s @ %d Hz)", args.output, len(wav) / SR, SR)
+
+    if args.mux_video:
+        from syncfusion_tpu.eval.mux import attach_audio_to_video
+
+        if not args.source_video:
+            raise SystemExit("--mux_video requires --source_video")
+        attach_audio_to_video(
+            args.source_video, args.output, args.mux_video,
+            fps=args.mux_fps, video_duration_in_seconds=len(wav) / SR,
+        )
+        log.info("muxed %s", args.mux_video)
 
 
 if __name__ == "__main__":

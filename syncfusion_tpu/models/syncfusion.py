@@ -28,6 +28,17 @@ from syncfusion_tpu.models.unet1d import UNet1d
 class SyncFusionDiffusion:
     unet: UNet1d
     onsets_encoder: Encoder1d
+    # >0: run the UNet through the folded-layout apply (unet1d_folded.py) with
+    # this lane cap — same params, numerically equivalent, less HBM traffic.
+    # Ignored for the compat (a-unet weight-compatible) module pair.
+    fold_cap: int = 0
+
+    def _unet_apply(self):
+        if self.fold_cap and isinstance(self.unet, UNet1d):
+            from syncfusion_tpu.models.unet1d_folded import make_folded_apply
+
+            return make_folded_apply(self.unet, self.fold_cap)
+        return self.unet.apply
 
     # ------------------------------------------------------------- setup
     @classmethod
@@ -36,6 +47,7 @@ class SyncFusionDiffusion:
         model_cfg: Optional[dict] = None,
         dtype=jnp.float32,
         compat: Optional[bool] = None,
+        fold_cap: Optional[int] = None,
     ):
         """Build from an exp/model/diffusion.yaml-style config node (or the
         reference defaults when None).
@@ -47,6 +59,8 @@ class SyncFusionDiffusion:
         """
         if compat is None:
             compat = bool(model_cfg and model_cfg.get("compat", False))
+        if fold_cap is None:
+            fold_cap = int(model_cfg.get("fold_cap", 0)) if model_cfg else 0
         if compat:
             from syncfusion_tpu.models.adp_compat import Encoder1dCompat, UNetV0Compat
             from syncfusion_tpu.models.adp_torch_recon import (
@@ -64,7 +78,11 @@ class SyncFusionDiffusion:
                 onsets_encoder=Encoder1dCompat(cfg=ecfg, dtype=dtype),
             )
         if model_cfg is None:
-            return cls(unet=UNet1d(dtype=dtype), onsets_encoder=Encoder1d(dtype=dtype))
+            return cls(
+                unet=UNet1d(dtype=dtype),
+                onsets_encoder=Encoder1d(dtype=dtype),
+                fold_cap=fold_cap,
+            )
         m = model_cfg["model"]
         e = model_cfg["onsets_encoder"]
         unet = UNet1d(
@@ -92,7 +110,7 @@ class SyncFusionDiffusion:
             patch_size=e.get("patch_size", 1),
             dtype=dtype,
         )
-        return cls(unet=unet, onsets_encoder=encoder)
+        return cls(unet=unet, onsets_encoder=encoder, fold_cap=fold_cap)
 
     def init(self, key: jax.Array, length: int, batch: int = 1) -> dict:
         # Jitted as one program: eager init dispatches thousands of tiny ops,
@@ -132,7 +150,7 @@ class SyncFusionDiffusion:
     ) -> jax.Array:
         context = self.encode_context(params["encoder"], onsets)
         return v_diffusion_loss(
-            self.unet.apply,
+            self._unet_apply(),
             params["unet"],
             key,
             wav,
@@ -155,7 +173,7 @@ class SyncFusionDiffusion:
         exp/evaluate_gh_gen.yaml:22-23)."""
         context = self.encode_context(params["encoder"], onsets)
         return v_sample(
-            self.unet.apply,
+            self._unet_apply(),
             params["unet"],
             noise,
             num_steps,

@@ -133,3 +133,38 @@ def test_evaluate_fad_dirs_sanity(tmp_path):
     fad_near = evaluate_fad(near, ref)["fad_melstats"]
     fad_far = evaluate_fad(far, ref)["fad_melstats"]
     assert fad_near < fad_far
+
+
+# ---------------------------------------------------------------------------
+# AV muxing (reference attach_audio_to_video parity — eval/mux.py)
+# ---------------------------------------------------------------------------
+
+def test_mux_requires_ffmpeg(tmp_path, monkeypatch):
+    from syncfusion_tpu.eval import mux
+
+    monkeypatch.setattr(mux.shutil, "which", lambda _: None)
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        mux.attach_audio_to_video("a.mp4", "b.wav", tmp_path / "o.mp4")
+
+
+def test_mux_roundtrip(tmp_path):
+    from syncfusion_tpu.eval.mux import attach_audio_to_video, have_ffmpeg
+
+    if not have_ffmpeg():
+        pytest.skip("ffmpeg not on PATH")
+    import subprocess
+
+    src = tmp_path / "src.mp4"
+    subprocess.run(
+        ["ffmpeg", "-y", "-loglevel", "error", "-f", "lavfi",
+         "-i", "testsrc=duration=3:size=160x120:rate=15", str(src)],
+        check=True,
+    )
+    wav = tmp_path / "gen.wav"
+    write_wav(wav, np.random.RandomState(0).randn(2 * 22050).astype(np.float32) * 0.1, 22050)
+    out = attach_audio_to_video(
+        src, wav, tmp_path / "out.mp4",
+        video_start_in_seconds=0.5, video_duration_in_seconds=2.0,
+        put_text=True, text_start_frame=15,
+    )
+    assert out.exists() and out.stat().st_size > 0
