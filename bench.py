@@ -30,7 +30,7 @@ CLIP_SECONDS = 8.0
 SAMPLE_RATE = 48000
 LENGTH = 2**18
 NUM_STEPS = 150
-BATCH = 8
+BATCH = 4  # b4 beats b8/b16 on-chip in the folded layout (script/perf_sweep.py)
 
 
 def main() -> None:

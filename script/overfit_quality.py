@@ -179,12 +179,13 @@ def main() -> None:
             checkpoint("mid", state)
     checkpoint("final", state)
 
-    # Detection acc alone is gameable (an init-noise model has peaks
-    # everywhere, matching every GT onset) — gate on FAD and AP, which
-    # penalizes the false positives.
-    improved = (
-        results[-1]["fad_melstats"] < results[0]["fad_melstats"]
-        and results[-1]["onset_ap"] > results[0]["onset_ap"]
+    # Detection acc alone is gameable (even an untrained model shows onset-
+    # context leakage the detector picks up, so onset metrics can saturate
+    # from init) — the discriminating gate is FAD dropping substantially
+    # while onset AP stays/becomes high.
+    improved = results[-1]["fad_melstats"] < 0.75 * results[0]["fad_melstats"] and (
+        results[-1]["onset_ap"] >= 0.95
+        or results[-1]["onset_ap"] > results[0]["onset_ap"]
     )
     print(json.dumps({"quality_improved": improved, "results": results}), flush=True)
     if args.out:

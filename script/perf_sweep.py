@@ -41,10 +41,58 @@ VARIANTS = {
     "folded1024": dict(fold_cap=1024, bf16_params=False),
     "plain_bf16p": dict(fold_cap=0, bf16_params=True),
     "folded256_bf16p": dict(fold_cap=256, bf16_params=True),
+    "folded256_b16": dict(fold_cap=256, bf16_params=False, batch=16),
+    "folded256_b4": dict(fold_cap=256, bf16_params=False, batch=4),
+    "folded256_b2": dict(fold_cap=256, bf16_params=False, batch=2),
+    "train_plain": dict(fold_cap=0, train=True),
+    "train_folded256": dict(fold_cap=256, train=True),
 }
 
 
-def run(name: str, fold_cap: int, bf16_params: bool) -> None:
+def run_train(name: str, fold_cap: int) -> None:
+    """Full-size train step (reference recipe, batch 2, accum off) timing."""
+    from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+    from syncfusion_tpu.train.diffusion_trainer import DiffusionTrainer, OptimizerConfig
+
+    b = 2
+    model = SyncFusionDiffusion.from_config(None, dtype=jnp.bfloat16, fold_cap=fold_cap)
+    params = model.init(jax.random.key(0), LENGTH, batch=1)
+    trainer = DiffusionTrainer(model, OptimizerConfig(accumulate_grad_batches=1))
+    state = trainer.create_state(params)
+    batch = {
+        "wav": jax.random.normal(jax.random.key(1), (b, LENGTH, 1), jnp.float32),
+        "onsets": jnp.zeros((b, LENGTH, 1), jnp.float32),
+        "embedding": jax.random.normal(jax.random.key(2), (b, 1, 512), jnp.float32),
+    }
+    t0 = time.perf_counter()
+    state, m = trainer.train_step(state, batch, jax.random.key(3))
+    jax.block_until_ready(m)
+    compile_s = time.perf_counter() - t0
+    n_runs = 10
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        state, m = trainer.train_step(state, batch, jax.random.key(4 + i))
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / n_runs
+    print(
+        json.dumps(
+            {
+                "variant": name,
+                "train_step_ms": round(dt * 1000, 1),
+                "batch": b,
+                "compile_s": round(compile_s, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
+def run(name: str, fold_cap: int, bf16_params: bool = False,
+        batch: int = BATCH, train: bool = False) -> None:
+    if train:
+        return run_train(name, fold_cap)
+    global BATCH
+    BATCH = batch
     from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 
     model = SyncFusionDiffusion.from_config(
