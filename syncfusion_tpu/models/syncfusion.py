@@ -170,8 +170,44 @@ class SyncFusionDiffusion:
     ) -> jax.Array:
         """Generate waveforms from noise (B, L, 1) conditioned on onsets +
         embedding (reference eval protocol: 150 steps, scale 2.0 —
-        exp/evaluate_gh_gen.yaml:22-23)."""
+        exp/evaluate_gh_gen.yaml:22-23).
+
+        With ``fold_cap`` set, the whole scan carry stays in folded layout:
+        noise is folded once, the context pyramid is folded once (outside
+        the 150-step loop), and the waveform is unfolded once at the end —
+        the narrow (B, L, 1) array never round-trips HBM per step.
+        """
         context = self.encode_context(params["encoder"], onsets)
+
+        if self.fold_cap and isinstance(self.unet, UNet1d):
+            from syncfusion_tpu.models.unet1d_folded import compute_folds, folded_apply
+            from syncfusion_tpu.ops.folded import fold, unfold
+
+            folds = compute_folds(self.unet, self.fold_cap, noise.shape[1])
+            entry_fold = folds[0] * self.unet.factors[0]
+            out_ch = self.unet.out_channels or self.unet.in_channels
+            if entry_fold > 1 and out_ch == self.unet.in_channels:
+                ctx_f = [
+                    fold(c, folds[i]) if (c is not None and folds[i] > 1) else c
+                    for i, c in enumerate(context)
+                ]
+
+                def apply_fn(variables, x, sigma, **kw):
+                    # flash=True: sampling needs no attention VJP, and the
+                    # Pallas kernel avoids the 1 GB f32 score materialization
+                    return folded_apply(
+                        self.unet, variables, x, sigma, fold_cap=self.fold_cap,
+                        io_folded=True, context_folded=True, folds=folds,
+                        flash=True, **kw,
+                    )
+
+                out = v_sample(
+                    apply_fn, params["unet"], fold(noise, entry_fold), num_steps,
+                    context=ctx_f, embedding=embedding,
+                    embedding_scale=embedding_scale,
+                )
+                return unfold(out, entry_fold)
+
         return v_sample(
             self._unet_apply(),
             params["unet"],

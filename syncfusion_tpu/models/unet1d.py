@@ -166,7 +166,8 @@ class UNet1d(nn.Module):
                            name=f"up_{i}")(h)
 
         # --- head -------------------------------------------------------------
-        h = nn.GroupNorm(num_groups=min(self.resnet_groups, self.channels[0]))(h)
+        h = nn.GroupNorm(num_groups=min(self.resnet_groups, self.channels[0]),
+                         dtype=self.dtype)(h)
         h = nn.silu(h)
         out = nn.Conv(self.out_channels or self.in_channels, (3,),
                       dtype=self.dtype, name="head")(h)

@@ -113,7 +113,7 @@ def _folded_resnet(unet, p, h, t_silu, f, channels):
     x = folded_group_norm(
         h, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
         _gn_groups(in_ch, unet.resnet_groups), f,
-        film_scale=fs, film_shift=ft,
+        film_scale=fs, film_shift=ft, out_dtype=unet.dtype,
     )
     x = folded_conv3(
         nn.silu(x), expand_conv(p["conv1"]["kernel"], 1, f),
@@ -121,7 +121,7 @@ def _folded_resnet(unet, p, h, t_silu, f, channels):
     )
     x = folded_group_norm(
         x, p["GroupNorm_1"]["scale"], p["GroupNorm_1"]["bias"],
-        _gn_groups(channels, unet.resnet_groups), f,
+        _gn_groups(channels, unet.resnet_groups), f, out_dtype=unet.dtype,
     )
     x = folded_conv3(
         nn.silu(x), expand_conv(p["conv2"]["kernel"], 1, f),
@@ -152,10 +152,10 @@ def _plain_resnet(unet, p, h, t, channels):
     return mod.apply({"params": p}, h, t)
 
 
-def _plain_attn(unet, p, h):
+def _plain_attn(unet, p, h, flash=False):
     mod = SelfAttention1d(
         heads=unet.attention_heads, head_features=unet.attention_features,
-        dtype=unet.dtype,
+        use_flash=flash, dtype=unet.dtype,
     )
     return mod.apply({"params": p}, h)
 
@@ -180,11 +180,25 @@ def folded_apply(
     embedding_cfg_mask: Optional[jax.Array] = None,
     rngs: Optional[dict] = None,
     fold_cap: int = 256,
+    io_folded: bool = False,
+    context_folded: bool = False,
+    folds: Optional[list[int]] = None,
+    flash: bool = False,
 ) -> jax.Array:
-    """Drop-in for ``unet.apply(variables, ...)`` with folded shallow levels."""
+    """Drop-in for ``unet.apply(variables, ...)`` with folded shallow levels.
+
+    ``io_folded``: ``x`` arrives already entry-folded and the output is
+    returned folded — lets a sampler keep the scan carry in folded layout so
+    the narrow (B, L, C_in) array never round-trips HBM per step (pass the
+    precomputed ``folds`` too, since the true length can't be derived from a
+    folded ``x`` alone).  ``context_folded``: the context pyramid is
+    pre-folded by the caller (once per clip, outside the step loop).
+    """
     p = variables["params"]
     n = len(unet.channels)
-    folds = compute_folds(unet, fold_cap, x.shape[1])
+    if folds is None:
+        assert not io_folded, "io_folded requires precomputed folds"
+        folds = compute_folds(unet, fold_cap, x.shape[1])
     context = list(context) if context is not None else []
     context += [None] * (n - len(context))
 
@@ -217,7 +231,7 @@ def folded_apply(
             else:
                 h = _plain_resnet(unet, sub, h, time_emb, unet.channels[level])
         if unet.attentions[level]:
-            h = _plain_attn(unet, p[f"{path}_attn_{level}"], h)
+            h = _plain_attn(unet, p[f"{path}_attn_{level}"], h, flash)
         if unet.cross_attentions[level] and embedding is not None:
             sub = p[f"{path}_xattn_{level}"]
             if f > 1:
@@ -244,7 +258,7 @@ def folded_apply(
     # --- down path ------------------------------------------------------
     h = x.astype(unet.dtype)
     entry_fold = folds[0] * unet.factors[0]
-    if entry_fold > 1:
+    if entry_fold > 1 and not io_folded:
         h = fold(h, entry_fold)
     skips = []
     for i in range(n):
@@ -263,7 +277,7 @@ def folded_apply(
         ctx = context[i]
         if ctx is not None and unet.context_channels[i]:
             ctx = ctx.astype(h.dtype)
-            if folds[i] > 1:
+            if folds[i] > 1 and not context_folded:
                 ctx = fold(ctx, folds[i])
             h = jnp.concatenate([h, ctx], axis=-1)
         h = run_items(h, i, "down", folds[i])
@@ -271,7 +285,7 @@ def folded_apply(
 
     # --- bottleneck (never folded: deepest level is attention-bearing) --
     h = _plain_resnet(unet, p["mid_res_0"], h, time_emb, unet.channels[-1])
-    h = _plain_attn(unet, p["mid_attn"], h)
+    h = _plain_attn(unet, p["mid_attn"], h, flash)
     if embedding is not None:
         h = _plain_xattn(unet, p["mid_xattn"], h, embedding)
     h = _plain_resnet(unet, p["mid_res_1"], h, time_emb, unet.channels[-1])
@@ -297,15 +311,16 @@ def folded_apply(
     if entry_fold > 1:
         h = folded_group_norm(
             h, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
-            head_groups, entry_fold,
+            head_groups, entry_fold, out_dtype=unet.dtype,
         )
         h = folded_conv3(
             nn.silu(h), expand_conv(p["head"]["kernel"], 1, entry_fold),
             p["head"]["bias"], entry_fold, dtype=unet.dtype,
         )
-        h = unfold(h, entry_fold)
+        if not io_folded:
+            h = unfold(h, entry_fold)
     else:
-        h = nn.GroupNorm(num_groups=head_groups).apply(
+        h = nn.GroupNorm(num_groups=head_groups, dtype=unet.dtype).apply(
             {"params": p["GroupNorm_0"]}, h
         )
         h = nn.Conv(out_ch, (3,), dtype=unet.dtype).apply(

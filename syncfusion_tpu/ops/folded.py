@@ -143,6 +143,7 @@ def folded_group_norm(
     film_scale: Optional[jax.Array] = None,
     film_shift: Optional[jax.Array] = None,
     eps: float = 1e-6,
+    out_dtype=None,
 ) -> jax.Array:
     """GroupNorm over a channel-major folded map, optionally fused with FiLM.
 
@@ -168,4 +169,7 @@ def folded_group_norm(
         ft = jnp.repeat(film_shift.astype(jnp.float32), f, axis=-1)[:, None, :]
         scale = scale * fs
         shift = shift * fs + ft
-    return norm * scale + shift
+    out = norm * scale + shift
+    # stats/affine in f32 (flax semantics); emit in the compute dtype so the
+    # following silu/conv pass doesn't move f32 activations through HBM
+    return out.astype(out_dtype) if out_dtype is not None else out
