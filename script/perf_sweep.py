@@ -44,18 +44,24 @@ VARIANTS = {
     "folded256_b16": dict(fold_cap=256, bf16_params=False, batch=16),
     "folded256_b4": dict(fold_cap=256, bf16_params=False, batch=4),
     "folded256_b2": dict(fold_cap=256, bf16_params=False, batch=2),
+    "folded256_b4_bf16p": dict(fold_cap=256, bf16_params=True, batch=4),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
+    "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
 }
 
 
-def run_train(name: str, fold_cap: int) -> None:
+def run_train(name: str, fold_cap: int, flash: bool = False) -> None:
     """Full-size train step (reference recipe, batch 2, accum off) timing."""
+    import dataclasses as dc
+
     from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
     from syncfusion_tpu.train.diffusion_trainer import DiffusionTrainer, OptimizerConfig
 
     b = 2
     model = SyncFusionDiffusion.from_config(None, dtype=jnp.bfloat16, fold_cap=fold_cap)
+    if flash:
+        model = dc.replace(model, unet=model.unet.clone(flash_attention=True))
     params = model.init(jax.random.key(0), LENGTH, batch=1)
     trainer = DiffusionTrainer(model, OptimizerConfig(accumulate_grad_batches=1))
     state = trainer.create_state(params)
@@ -88,9 +94,9 @@ def run_train(name: str, fold_cap: int) -> None:
 
 
 def run(name: str, fold_cap: int, bf16_params: bool = False,
-        batch: int = BATCH, train: bool = False) -> None:
+        batch: int = BATCH, train: bool = False, flash: bool = False) -> None:
     if train:
-        return run_train(name, fold_cap)
+        return run_train(name, fold_cap, flash)
     global BATCH
     BATCH = batch
     from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion

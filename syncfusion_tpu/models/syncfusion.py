@@ -98,6 +98,7 @@ class SyncFusionDiffusion:
             embedding_features=m.get("embedding_features", 512),
             embedding_max_length=m.get("embedding_max_length", 1),
             use_embedding_cfg=m.get("use_embedding_cfg", True),
+            flash_attention=m.get("flash_attention", False),
             dtype=dtype,
         )
         encoder = Encoder1d(

@@ -57,6 +57,7 @@ class UNet1d(nn.Module):
     out_channels: Optional[int] = None
     remat: bool = False  # jax.checkpoint each resnet block (memory ↓, FLOPs ↑)
     fused_resnet: bool = False  # Pallas-fused GN/FiLM/SiLU/conv chain
+    flash_attention: bool = False  # Pallas flash attention (TPU; has VJP)
     fused_block_l: int = 4096
     dtype: jnp.dtype = jnp.float32
 
@@ -64,6 +65,7 @@ class UNet1d(nn.Module):
         return SelfAttention1d(
             heads=self.attention_heads,
             head_features=self.attention_features,
+            use_flash=self.flash_attention,
             dtype=self.dtype,
             name=name,
         )

@@ -152,10 +152,11 @@ def _plain_resnet(unet, p, h, t, channels):
     return mod.apply({"params": p}, h, t)
 
 
-def _plain_attn(unet, p, h, flash=False):
+def _plain_attn(unet, p, h, flash=None):
+    use_flash = unet.flash_attention if flash is None else flash
     mod = SelfAttention1d(
         heads=unet.attention_heads, head_features=unet.attention_features,
-        use_flash=flash, dtype=unet.dtype,
+        use_flash=use_flash, dtype=unet.dtype,
     )
     return mod.apply({"params": p}, h)
 
@@ -183,7 +184,7 @@ def folded_apply(
     io_folded: bool = False,
     context_folded: bool = False,
     folds: Optional[list[int]] = None,
-    flash: bool = False,
+    flash: Optional[bool] = None,
 ) -> jax.Array:
     """Drop-in for ``unet.apply(variables, ...)`` with folded shallow levels.
 

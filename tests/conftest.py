@@ -20,6 +20,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Suite wall time is dominated by XLA CPU compiles of per-test model
+# variants; the persistent cache makes re-runs of an unchanged suite fast.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -38,3 +38,54 @@ def test_flash_attention_rejects_ragged_length():
     q, k, v = _rand_qkv(l=300)
     with pytest.raises(AssertionError):
         flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+
+
+def test_flash_attention_gradients_match_reference():
+    """Custom-VJP backward kernels vs XLA attention gradients (f32)."""
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 256, 2, 64)).astype(np.float32))
+        for _ in range(3)
+    )
+    w = jnp.asarray(rng.normal(size=(2, 256, 2, 64)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True) * w
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_attention_gradients_causal():
+    rng = np.random.default_rng(4)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 256, 2, 64)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            jnp.square(flash_attention(q, k, v, causal=True, block_q=128,
+                                       block_k=128, interpret=True))
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(attention_reference(q, k, v, causal=True)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
