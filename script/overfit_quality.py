@@ -149,6 +149,12 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--distill", action="store_true",
+                    help="after training, progressively distill 64->8 "
+                         "sampler steps and score the student (few-step "
+                         "serving capability demo)")
+    ap.add_argument("--distill_steps", type=int, default=300,
+                    help="optimizer steps per halving round")
     args = ap.parse_args()
 
     from syncfusion_tpu.train.diffusion_trainer import DiffusionTrainer, OptimizerConfig
@@ -201,10 +207,43 @@ def main() -> None:
         and final["onset_ap"] >= 0.85
         and final["onset_count_acc"] >= 0.5
     )
+    distill_report = None
+    if args.distill:
+        from syncfusion_tpu.train.distill import DistillConfig, ProgressiveDistiller
+
+        rng2 = np.random.RandomState(11)
+
+        def batch_fn(step):
+            idx = rng2.choice(len(wavs), args.batch, replace=False)
+            return {"wav": jnp.asarray(wavs[idx]), "onsets": jnp.asarray(tracks[idx])}
+
+        dist = ProgressiveDistiller(
+            model,
+            DistillConfig(start_steps=64, final_steps=8,
+                          steps_per_round=args.distill_steps),
+        )
+        distilled, n = dist.distill(
+            state.params, batch_fn, jax.random.key(555),
+            log_fn=lambda m: print(json.dumps(m), flush=True),
+        )
+        teacher64 = evaluate(model, state.params, wavs, tracks,
+                             jax.random.key(999), num_steps=64)
+        teacher8 = evaluate(model, state.params, wavs, tracks,
+                            jax.random.key(999), num_steps=n)
+        student8 = evaluate(model, distilled, wavs, tracks,
+                            jax.random.key(999), num_steps=n)
+        distill_report = {
+            "teacher_64step": teacher64,
+            f"teacher_{n}step_naive": teacher8,
+            f"student_{n}step_distilled": student8,
+        }
+        print(json.dumps({"distill": distill_report}), flush=True)
+
     print(json.dumps({"quality_improved": improved, "results": results}), flush=True)
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"quality_improved": improved, "results": results}, f, indent=2)
+            json.dump({"quality_improved": improved, "results": results,
+                       "distill": distill_report}, f, indent=2)
     sys.exit(0 if improved else 1)
 
 
