@@ -74,6 +74,9 @@ def main(argv=None) -> None:
         final_steps=int(dnode.get("final_steps", 8)),
         steps_per_round=int(dnode.get("steps_per_round", 400)),
         lr=float(dnode.get("lr", 1e-4)),
+        # e.g. +distill.cfg_scale=2.0 bakes the eval guidance scale
+        # (exp/evaluate_gh_gen.yaml:23) into a single-forward student
+        cfg_scale=float(dnode.get("cfg_scale", 1.0)),
     )
 
     train_fn = instantiate(cfg.datamodule.train_dataset)

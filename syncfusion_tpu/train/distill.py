@@ -49,6 +49,11 @@ class DistillConfig:
     steps_per_round: int = 400     # optimizer steps per halving
     lr: float = 1e-4
     grad_clip: float = 0.5
+    # != 1.0: guided distillation — the teacher's v is the CFG combine
+    # v_u + (v_c - v_u)*scale (cond+uncond as one 2B batch, like v_sample),
+    # baked into a single-forward student.  The distilled model is then
+    # sampled with embedding_scale=1.0: no 2x CFG batch at serving.
+    cfg_scale: float = 1.0
 
 
 class ProgressiveDistiller:
@@ -103,11 +108,30 @@ class ProgressiveDistiller:
         apply_fn = model._unet_apply()
         t_ctx = model.encode_context(teacher_params["encoder"], onsets)
 
-        def teacher_v(x, sigma):
-            return apply_fn(
-                teacher_params["unet"], x, sigma, context=t_ctx,
-                embedding=embedding,
-            )
+        scale = self.cfg.cfg_scale
+        if scale != 1.0 and embedding is not None:
+            # guided teacher: CFG combine, cond+uncond folded into one 2B
+            # forward exactly like v_sample (models/diffusion.py:87-108)
+            def teacher_v(x, sigma):
+                x2 = jnp.concatenate([x, x], axis=0)
+                ctx2 = [jnp.concatenate([c, c], axis=0) for c in t_ctx]
+                emb2 = jnp.concatenate([embedding, jnp.zeros_like(embedding)], axis=0)
+                mask = jnp.concatenate(
+                    [jnp.zeros((x.shape[0], 1, 1)), jnp.ones((x.shape[0], 1, 1))],
+                    axis=0,
+                )
+                v2 = apply_fn(
+                    teacher_params["unet"], x2, jnp.concatenate([sigma, sigma]),
+                    context=ctx2, embedding=emb2, embedding_cfg_mask=mask,
+                )
+                v_c, v_u = jnp.split(v2, 2, axis=0)
+                return v_u + (v_c - v_u) * scale
+        else:
+            def teacher_v(x, sigma):
+                return apply_fn(
+                    teacher_params["unet"], x, sigma, context=t_ctx,
+                    embedding=embedding,
+                )
 
         # two teacher DDIM steps (rotations), no grads into the teacher
         v1 = teacher_v(x, sig_now)

@@ -74,3 +74,30 @@ def test_distill_halving_schedule_runs_and_descends():
     gen = model.sample(out, jnp.asarray(rng.normal(size=(1, L, 1)).astype(np.float32)),
                        onsets[:1], None, num_steps=n)
     assert gen.shape == (1, L, 1) and np.isfinite(np.asarray(gen)).all()
+
+
+def test_guided_distillation_round_runs():
+    """cfg_scale != 1 — the teacher is the CFG combine (one 2B forward)."""
+    model = tiny_model()
+    params = model.init(jax.random.key(0), L, batch=1)
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.normal(size=(2, L, 1)).astype(np.float32) * 0.1)
+    onsets = jnp.zeros((2, L, 1)).at[:, 100, 0].set(1.0)
+    emb = jnp.asarray(rng.normal(size=(2, 1, 8)).astype(np.float32))
+
+    dist = ProgressiveDistiller(
+        model, DistillConfig(start_steps=4, final_steps=2, steps_per_round=2,
+                             cfg_scale=2.0),
+    )
+    out, n = dist.distill(
+        params,
+        batch_fn=lambda step: {"wav": wav, "onsets": onsets, "embedding": emb},
+        key=jax.random.key(3),
+    )
+    assert n == 2
+    # guided loss differs from unguided at the same params/batch
+    l_guided = dist.loss(params, params, jax.random.key(4), wav, onsets, emb, 2)
+    l_plain = ProgressiveDistiller(
+        model, DistillConfig(cfg_scale=1.0)
+    ).loss(params, params, jax.random.key(4), wav, onsets, emb, 2)
+    assert abs(float(l_guided) - float(l_plain)) > 1e-8
