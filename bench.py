@@ -55,14 +55,15 @@ def main() -> None:
             num_steps=NUM_STEPS, embedding_scale=2.0,
         )
 
-    # compile + warmup
-    generate(params, noise).block_until_ready()
+    # compile + warmup; scalar extraction is the reliable device sync over
+    # this tunnel (block_until_ready can return early on pytrees — measured)
+    float(jnp.sum(generate(params, noise)))
 
     n_runs = 2
     t0 = time.perf_counter()
     for _ in range(n_runs):
         out = generate(params, noise)
-    out.block_until_ready()
+    float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / n_runs
 
     audio_seconds = BATCH * LENGTH / SAMPLE_RATE

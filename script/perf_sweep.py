@@ -72,13 +72,15 @@ def run_train(name: str, fold_cap: int, flash: bool = False) -> None:
     }
     t0 = time.perf_counter()
     state, m = trainer.train_step(state, batch, jax.random.key(3))
-    jax.block_until_ready(m)
+    # scalar extraction is the only reliable device sync over this tunnel
+    # (jax.block_until_ready on the metrics dict returns early - measured)
+    float(m["train_loss"])
     compile_s = time.perf_counter() - t0
     n_runs = 10
     t0 = time.perf_counter()
     for i in range(n_runs):
         state, m = trainer.train_step(state, batch, jax.random.key(4 + i))
-    jax.block_until_ready(m)
+    float(m["train_loss"])
     dt = (time.perf_counter() - t0) / n_runs
     print(
         json.dumps(
@@ -124,14 +126,14 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
         )
 
     t0 = time.perf_counter()
-    generate(params, noise).block_until_ready()
+    float(jnp.sum(generate(params, noise)))  # scalar sync (see run_train note)
     compile_s = time.perf_counter() - t0
 
     n_runs = 2
     t0 = time.perf_counter()
     for _ in range(n_runs):
         out = generate(params, noise)
-    out.block_until_ready()
+    float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / n_runs
 
     audio_seconds = BATCH * LENGTH / SAMPLE_RATE
