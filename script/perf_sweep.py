@@ -45,6 +45,7 @@ VARIANTS = {
     "folded256_b4": dict(fold_cap=256, bf16_params=False, batch=4),
     "folded256_b2": dict(fold_cap=256, bf16_params=False, batch=2),
     "folded256_b4_bf16p": dict(fold_cap=256, bf16_params=True, batch=4),
+    "folded256_b6": dict(fold_cap=256, bf16_params=False, batch=6),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
