@@ -169,3 +169,30 @@ def test_loss_equivalence():
     )
     # same key -> same CFG dropout draw -> equal at float32 round-off
     np.testing.assert_allclose(float(out), float(ref), atol=1e-5)
+
+def test_forward_equivalence_strided_entry():
+    """factors[0] != 1: the entry fold (folds[0]*factor) absorbs into the
+    strided entry conv; exactness holds for that generalization too."""
+    u = UNet1d(
+        channels=(8, 32, 64), factors=(2, 4, 4), items=(1, 1, 1),
+        attentions=(0, 0, 1), cross_attentions=(1, 1, 1),
+        context_channels=(2, 8, 0), attention_heads=2, attention_features=4,
+        embedding_features=8, modulation_features=16, resnet_groups=2,
+    )
+    L2 = 2048
+    x = jax.random.normal(jax.random.key(0), (2, L2, 1))
+    ctx = [
+        jax.random.normal(jax.random.key(1), (2, L2 // 2, 2)),
+        jax.random.normal(jax.random.key(2), (2, L2 // 8, 8)),
+        None,
+    ]
+    emb = jax.random.normal(jax.random.key(3), (2, 1, 8))
+    sigma = jnp.array([0.3, 0.8])
+    p = u.init(
+        {"params": jax.random.key(5), "cfg": jax.random.key(6)},
+        x, sigma, context=ctx, embedding=emb,
+    )
+    assert compute_folds(u, 256, L2) == [16, 4, 1]
+    ref = u.apply(p, x, sigma, context=ctx, embedding=emb)
+    out = folded_apply(u, p, x, sigma, context=ctx, embedding=emb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
