@@ -59,12 +59,16 @@ def main() -> None:
     # this tunnel (block_until_ready can return early on pytrees — measured)
     float(jnp.sum(generate(params, noise)))
 
-    n_runs = 2
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
+    # 5 timed runs, each individually synced; report the median (robust to a
+    # straggler tunnel hiccup) alongside min/max for the record.
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         out = generate(params, noise)
-    float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / n_runs
+        float(jnp.sum(out))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     audio_seconds = BATCH * LENGTH / SAMPLE_RATE
     clips_per_min = (audio_seconds / CLIP_SECONDS) / dt * 60.0
@@ -75,6 +79,10 @@ def main() -> None:
                 "value": round(clips_per_min, 2),
                 "unit": "clips/min/chip",
                 "vs_baseline": round(clips_per_min / BASELINE_CLIPS_PER_MIN_PER_CHIP, 3),
+                "runs": len(times),
+                "median_s": round(dt, 3),
+                "min_s": round(times[0], 3),
+                "max_s": round(times[-1], 3),
             }
         )
     )

@@ -25,7 +25,10 @@ from syncfusion_tpu.core.config import instantiate, load_config
 from syncfusion_tpu.core.logging import get_logger
 from syncfusion_tpu.models.embedder import build_embedder
 from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+from syncfusion_tpu.utils.misc import load_dotenv
 
+# Load `.env` credentials/paths (reference script/evaluate_diffusion.py:16).
+load_dotenv(Path(__file__).resolve().parents[1] / ".env", override=True)
 log = get_logger("evaluate_diffusion")
 
 

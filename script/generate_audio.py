@@ -34,8 +34,6 @@ from syncfusion_tpu.data.baseline_dataset import (
 )
 from syncfusion_tpu.models.melgan import Vocoder
 from syncfusion_tpu.models.vqgan.model import wav_to_spec
-from syncfusion_tpu.ops.mel import specvqgan_unscale
-from syncfusion_tpu.ops.stft import griffin_lim
 from syncfusion_tpu.ops.wav import write_wav
 
 log = get_logger("generate_audio")
@@ -56,6 +54,15 @@ def main(argv=None) -> None:
     ap.add_argument("--top_k", type=int, default=512)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--data_to_use", type=float, default=1.0)
+    ap.add_argument(
+        "--style_transfer", action="store_true",
+        help="VGG19 gram-matrix style transfer between the VQ reconstructions "
+        "instead of GPT sampling (reference gen_audio_condImage_fast"
+        "(style_transfer=True), audio_generation_scripts.py:686-697)",
+    )
+    ap.add_argument("--vgg19_ckpt", default=None,
+                    help="torchvision vgg19 state_dict (.pt) for --style_transfer")
+    ap.add_argument("--style_steps", type=int, default=300)
     args = ap.parse_args(argv)
 
     cfg = Config.wrap(yaml.safe_load(open(args.config)))
@@ -99,25 +106,63 @@ def main(argv=None) -> None:
         spec01 = (model.decode_grid(params, grid)[..., 0] + 1.0) / 2.0
         return spec01  # (B, 80, 160) in [0,1]
 
+    @jax.jit
+    def recon01(params, spec):
+        # VQ round-trip reconstruction, [0,1] mel panel (the reference's
+        # mel_xrec/mel_xprec inputs to the style path).
+        idx_grid = model.first_stage.encode_indices(params["vq"], spec)
+        rec = model.first_stage.decode_indices(params["vq"], idx_grid)
+        return (rec[..., 0] + 1.0) / 2.0
+
+    vgg_vars = None
+    if args.style_transfer:
+        from syncfusion_tpu.eval.style_transfer import (
+            Vgg19Prefix, convert_torch_vgg19, style_transfer_mel,
+        )
+
+        if args.vgg19_ckpt:
+            import torch
+
+            sd = torch.load(args.vgg19_ckpt, map_location="cpu")
+            sd = sd.get("state_dict", sd)
+            vgg_vars = convert_torch_vgg19(
+                {k: v.numpy() for k, v in sd.items() if k.startswith("features.")}
+            )
+        else:
+            log.warning(
+                "--style_transfer without --vgg19_ckpt: using random VGG19 "
+                "weights (env-gated, like LPAPS/MelGAN real-weight loads)"
+            )
+            vgg_vars = Vgg19Prefix().init(
+                jax.random.key(0), jnp.zeros((1, 80, 160, 3))
+            )
+
     rng = jax.random.key(int(time.time()))
     idx = 0
     for batch in baseline_loader(ds, args.batch_size):
         rng, sub = jax.random.split(rng)
         cond_spec = to_spec(jnp.asarray(batch["cond_image"]))
-        spec01 = np.asarray(
-            sample_batch(params, cond_spec, jnp.asarray(batch["feature"]), sub)
-        )
+        if args.style_transfer:
+            ref_rec = np.asarray(recon01(params, to_spec(jnp.asarray(batch["image"]))))
+            cond_rec = np.asarray(recon01(params, cond_spec))
+            spec_w = ref_rec.shape[-1]
+            spec01 = np.stack([
+                style_transfer_mel(
+                    vgg_vars, ref_rec[i], cond_rec[i],
+                    spec_take_first=spec_w, num_steps=args.style_steps,
+                )
+                for i in range(ref_rec.shape[0])
+            ])
+        else:
+            spec01 = np.asarray(
+                sample_batch(params, cond_spec, jnp.asarray(batch["feature"]), sub)
+            )
         if vocoder is not None:
             wavs = vocoder(spec01)
         else:  # Griffin-Lim through the exact inverse scaling chain
-            mel = specvqgan_unscale(jnp.asarray(spec01))
-            # crude mel→linear pseudo-inverse for GL (capability fallback)
-            from syncfusion_tpu.ops.mel import mel_filterbank
+            from syncfusion_tpu.ops.mel import mel01_to_waveform_gl
 
-            fb = np.asarray(mel_filterbank(22050, 1024, 80, 125, 7600,
-                                           scale="htk", norm="slaney"))
-            lin = jnp.einsum("mf,bmt->bft", jnp.asarray(np.linalg.pinv(fb).T), mel)
-            wavs = np.asarray(griffin_lim(jnp.maximum(lin, 0.0), 1024, 256, n_iter=32))
+            wavs = np.asarray(mel01_to_waveform_gl(jnp.asarray(spec01), 22050))
         for i in range(wavs.shape[0]):
             name = Path(batch["file_path_wav_"][i]).name
             cname = Path(batch["file_path_cond_wav_"][i]).name

@@ -40,6 +40,7 @@ def pipeline(
     video_suffix: str = ".mp4",
     audio_sample_rate: int = 48000,
     audio_bitdepth: int = 32,
+    audio_denoise: bool = False,
     audio_onsets: bool = False,
     video_frames_per_second: int = 15,
     video_width: int = 320,
@@ -92,6 +93,18 @@ def pipeline(
         "-y", str(audio_path),
     ])
 
+    if audio_denoise:
+        # Native spectral gate replacing noisereduce.reduce_noise(x, sr,
+        # n_fft=1024, hop_length=256) (reference gh_preprocess_videos.py:91-98).
+        from syncfusion_tpu.ops.denoise import spectral_gate
+
+        wav, sr = read_wav(audio_path)
+        denoised = np.asarray(spectral_gate(wav, n_fft=1024, hop_length=256))
+        fmt_name = "pcm16" if audio_bitdepth == 16 else "f32"
+        write_wav(
+            audio_dir / f"{name}.resampled_denoised.wav", denoised, sr, fmt=fmt_name
+        )
+
     if audio_onsets:
         wav, sr = read_wav(audio_path)
         hits = np.loadtxt(out / "hit_record.csv", delimiter=",", usecols=0, ndmin=1)
@@ -116,6 +129,7 @@ def main(argv=None) -> None:
     ap.add_argument("--video_suffix", default=".mp4")
     ap.add_argument("--audio_sample_rate", type=int, default=48000)
     ap.add_argument("--audio_bitdepth", type=int, default=32)
+    ap.add_argument("-adn", "--audio_denoise", action="store_true")
     ap.add_argument("--audio_onsets", action="store_true")
     ap.add_argument("--video_frames_per_second", type=int, default=15)
     ap.add_argument("--video_width", type=int, default=320)
@@ -134,7 +148,7 @@ def main(argv=None) -> None:
         futures = [
             pool.submit(
                 pipeline, str(v), args.video_suffix, args.audio_sample_rate,
-                args.audio_bitdepth, args.audio_onsets,
+                args.audio_bitdepth, args.audio_denoise, args.audio_onsets,
                 args.video_frames_per_second, args.video_width,
                 args.video_height, args.output_dir,
             )

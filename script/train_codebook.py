@@ -28,6 +28,20 @@ from syncfusion_tpu.train.vqgan_trainer import VQGANLossConfig, VQGANTrainer
 log = get_logger("train_codebook")
 
 
+def build_vq_model(cfg) -> VQModel:
+    """VQModel from a greatesthit_codebook-style config tree (also used by
+    the stage-2/generation drivers so tiny configs stay consistent)."""
+    m = cfg.get("model", Config())
+    dd = m.get("ddconfig", Config())
+    return VQModel(
+        embed_dim=m.get("embed_dim", 256), n_embed=m.get("n_embed", 1024),
+        ch=dd.get("ch", 128), ch_mult=tuple(dd.get("ch_mult", (1, 1, 2, 2, 4))),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+        attn_resolutions=tuple(dd.get("attn_resolutions", (10,))),
+        resolution=dd.get("resolution", 160), z_channels=dd.get("z_channels", 256),
+    )
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("-c", "--config", required=True)
@@ -36,15 +50,8 @@ def main(argv=None) -> None:
     cfg = Config.wrap(yaml.safe_load(open(args.config)))
 
     m = cfg.model
-    dd = m.get("ddconfig", Config())
     loss_cfg = m.get("lossconfig", Config())
-    model = VQModel(
-        embed_dim=m.get("embed_dim", 256), n_embed=m.get("n_embed", 1024),
-        ch=dd.get("ch", 128), ch_mult=tuple(dd.get("ch_mult", (1, 1, 2, 2, 4))),
-        num_res_blocks=dd.get("num_res_blocks", 2),
-        attn_resolutions=tuple(dd.get("attn_resolutions", (10,))),
-        resolution=dd.get("resolution", 160), z_channels=dd.get("z_channels", 256),
-    )
+    model = build_vq_model(cfg)
     trainer = VQGANTrainer(
         model,
         VQGANLossConfig(
@@ -57,6 +64,7 @@ def main(argv=None) -> None:
         ),
         learning_rate=m.get("learning_rate", 4.5e-6),
     )
+    dd = m.get("ddconfig", Config())
     spec_h = dd.get("mel_num", 80)
     spec_w = dd.get("spec_crop_len", 160)
     state = trainer.init(jax.random.key(cfg.get("seed", 0)),
@@ -106,8 +114,9 @@ def main(argv=None) -> None:
                                step=step)
             ckpt.save(step, state, {"val/rec_loss": rec})
             log.info("epoch %d val/rec_loss %.4f", epoch, rec)
-            # recon panel (ImageLogger equivalent)
-            from syncfusion_tpu.eval.panels import write_spec_panel
+            # recon panel + vocoded wavs (ImageLogger equivalent —
+            # reference image_logger.py:63-80 logs input/rec audio too)
+            from syncfusion_tpu.eval.panels import write_media_wavs, write_spec_panel
 
             val_spec = to_spec(jnp.asarray(batch["image"]))  # last val batch
             xrec, _, _ = jax.jit(lambda p, s: trainer.model.apply(p, s))(
@@ -119,6 +128,13 @@ def main(argv=None) -> None:
                  "reconstructions": np.asarray(xrec[0, :, :, 0])},
                 step=step,
             )
+            if cfg.get("log_media", True):
+                write_media_wavs(
+                    run_dir / "media", "val",
+                    {"inputs": (np.asarray(val_spec)[..., 0] + 1) / 2,
+                     "reconstructions": (np.clip(np.asarray(xrec), -1, 1)[..., 0] + 1) / 2},
+                    step=step, sample_rate=d.get("sample_rate", 22050),
+                )
     ckpt.wait()
 
 

@@ -31,7 +31,11 @@ from syncfusion_tpu.data.sfx_dataset import batched
 from syncfusion_tpu.models.embedder import build_embedder
 from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 from syncfusion_tpu.train.diffusion_trainer import DiffusionTrainer, OptimizerConfig
+from syncfusion_tpu.utils.misc import load_dotenv
 
+# Load `.env` credentials/paths (reference script/train_diffusion_model.py:15,
+# consumed by ${oc.env:} interpolations and the wandb mirror).
+load_dotenv(Path(__file__).resolve().parents[1] / ".env", override=True)
 log = get_logger("train_diffusion")
 
 

@@ -37,13 +37,15 @@ log = get_logger("train_transformer")
 
 
 def build_model(cfg) -> AVCondTransformer:
+    from train_codebook import build_vq_model
+
     t = cfg.get("transformer", Config())
     gpt = GPTFeats(GPTConfig(
         vocab_size=t.get("vocab_size", 1024), block_size=t.get("block_size", 160),
         n_layer=t.get("n_layer", 24), n_head=t.get("n_head", 16),
         n_embd=t.get("n_embd", 1024),
     ))
-    return AVCondTransformer(first_stage=SpecVQGAN(VQModel()), gpt=gpt,
+    return AVCondTransformer(first_stage=SpecVQGAN(build_vq_model(cfg)), gpt=gpt,
                              pkeep=cfg.get("pkeep", 1.0))
 
 
@@ -134,6 +136,34 @@ def main(argv=None) -> None:
             metrics_logger.log({"val/loss": v}, step=step)
             ckpt.save(step, state, {"val/loss": v})
             log.info("epoch %d val/loss %.4f", epoch, v)
+            if cfg.get("log_media", True):
+                # ImageLogger equivalent (reference image_logger.py:16-230 +
+                # av_cond_transformer.log_images): sample panels, attention
+                # grids, and vocoded sample wavs into run_dir/media.
+                from syncfusion_tpu.eval.panels import (
+                    write_attention_panel, write_media_wavs, write_spec_panel,
+                )
+
+                rng, sub = jax.random.split(rng)
+                lp = {"vq": frozen["vq"], "video": frozen["video"],
+                      "gpt": state.gpt_params}
+                media = model.log_images(lp, jb["spec"], jb["cond_spec"],
+                                         jb["frames"], sub)
+                spec_keys = ("inputs", "reconstructions", "samples_half",
+                             "samples_nopix", "samples_det")
+                write_spec_panel(
+                    run_dir / "media", "val",
+                    {k: np.asarray(media[k][0, :, :, 0]) for k in spec_keys},
+                    step=step,
+                )
+                for k in ("att_half", "att_nopix", "att_det"):
+                    write_attention_panel(run_dir / "media", f"val_{k}",
+                                          np.asarray(media[k]), step=step)
+                write_media_wavs(
+                    run_dir / "media", "val",
+                    {"samples_nopix": (np.asarray(media["samples_nopix"])[..., 0] + 1) / 2},
+                    step=step, sample_rate=d.get("sample_rate", 22050),
+                )
     ckpt.wait()
 
 

@@ -62,7 +62,13 @@ def attach_audio_to_video(
         "-c:a", "aac", "-shortest",
         str(dest),
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError as e:
+        # Surface ffmpeg's diagnostics (e.g. drawtext failing when no
+        # fontconfig font is available) instead of an opaque exit code.
+        stderr = (e.stderr or b"").decode(errors="replace").strip()
+        raise RuntimeError(f"ffmpeg mux failed (rc={e.returncode}): {stderr}") from e
     return dest
 
 

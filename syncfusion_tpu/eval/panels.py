@@ -99,3 +99,81 @@ def write_label_plot(
     path = out_dir / f"{name}_step{step:08d}.png"
     img.save(path)
     return path
+
+
+def visualize_attention(att: np.ndarray, scale_by_prior: bool = True) -> np.ndarray:
+    """(B, H, T, T) attention probs → (B, T, T) aggregated maps (reference
+    image_logger.py:51-61): optionally subtract the causal uniform prior
+    1/(row+1) per row, then sum over heads."""
+    att = np.asarray(att, np.float32)
+    b, h, t, _ = att.shape
+    if scale_by_prior:
+        prior = np.tril(1.0 / np.arange(1, t + 1, dtype=np.float32)[:, None]
+                        * np.ones((t, t), np.float32))
+        att = att - prior[None, None]
+    return att.sum(axis=1)
+
+
+def write_attention_panel(
+    out_dir: str | Path,
+    name: str,
+    att: np.ndarray,
+    step: int = 0,
+    scale_by_prior: bool = True,
+    max_maps: int = 4,
+) -> Path:
+    """Write a grid of per-item aggregated attention maps (the reference's
+    ``att_half/att_nopix/att_det`` grids, image_logger.py:99-101)."""
+    maps = visualize_attention(att, scale_by_prior)[:max_maps]
+    # normalize=True semantics of make_grid: min/max over the whole grid
+    lo, hi = maps.min(), maps.max()
+    maps = (maps - lo) / (hi - lo) if hi > lo else np.zeros_like(maps)
+
+    tiles = [Image.fromarray(_colormap(m)) for m in maps]
+    upscale = max(1, 256 // tiles[0].width)
+    tiles = [t.resize((t.width * upscale, t.height * upscale), Image.NEAREST)
+             for t in tiles]
+    pad = 2
+    width = sum(t.width for t in tiles) + pad * (len(tiles) - 1)
+    panel = Image.new("RGB", (width, tiles[0].height))
+    x = 0
+    for t in tiles:
+        panel.paste(t, (x, 0))
+        x += t.width + pad
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / f"{name}_step{step:08d}.png"
+    panel.save(path)
+    return path
+
+
+def write_media_wavs(
+    out_dir: str | Path,
+    name: str,
+    specs01: dict[str, np.ndarray],
+    step: int = 0,
+    sample_rate: int = 22050,
+    n_iter: int = 16,
+    max_items: int = 2,
+) -> list[Path]:
+    """Vocode [0,1] mel panels ``(B, 80, T)`` via Griffin-Lim and write wavs
+    (the reference ImageLogger's ``_log_rec_audio``, image_logger.py:63-80 —
+    MelGAN there; the GL inverse chain here, weights-free)."""
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.ops.mel import mel01_to_waveform_gl
+    from syncfusion_tpu.ops.wav import write_wav
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for key, spec in specs01.items():
+        spec = np.asarray(spec, np.float32)[:max_items]
+        wavs = np.asarray(
+            mel01_to_waveform_gl(jnp.asarray(spec), sample_rate, n_iter=n_iter)
+        )
+        for i in range(wavs.shape[0]):
+            p = out_dir / f"{name}_{key}_{i}_step{step:08d}.wav"
+            write_wav(p, wavs[i], sample_rate)
+            paths.append(p)
+    return paths

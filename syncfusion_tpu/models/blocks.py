@@ -167,8 +167,9 @@ class SelfAttention1d(nn.Module):
     HLO inspection showed XLA attention materializes the f32 (B, H, T, T)
     score tensor — 1.07 GB per call at T=2048/B=8, ~40% of the whole denoise
     forward's HBM traffic — so flash is the serving-path default.  The
-    Pallas kernel has no VJP; training paths keep XLA attention (same
-    numerics up to online-softmax reassociation)."""
+    kernel is differentiable (custom VJP with recomputation-based backward,
+    ops/attention.py) so training paths may enable it too — same numerics
+    up to online-softmax reassociation."""
 
     heads: int = 8
     head_features: int = 64
@@ -183,13 +184,17 @@ class SelfAttention1d(nn.Module):
         qkv = nn.DenseGeneral((3, self.heads, self.head_features), axis=-1,
                               dtype=self.dtype, name="qkv")(h)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        from syncfusion_tpu.ops.attention import (
+            DEFAULT_BLOCK_K,
+            DEFAULT_BLOCK_Q,
+            flash_attention,
+        )
+
         if (
             self.use_flash
             and jax.default_backend() == "tpu"
-            and x.shape[1] % 256 == 0
+            and x.shape[1] % max(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K) == 0
         ):
-            from syncfusion_tpu.ops.attention import flash_attention
-
             o = flash_attention(q, k, v)
         else:
             o = jax.nn.dot_product_attention(q, k, v)

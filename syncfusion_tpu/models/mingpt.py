@@ -46,7 +46,7 @@ class CausalSelfAttention(nn.Module):
     config: GPTConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_att: bool = False):
         cfg = self.config
         b, t, c = x.shape
         hd = cfg.n_embd // cfg.n_head
@@ -58,22 +58,32 @@ class CausalSelfAttention(nn.Module):
         logits = jnp.where(mask[None, None], logits, -1e10)
         att = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, t, c)
-        return nn.Dense(cfg.n_embd, name="proj")(out)
+        out = nn.Dense(cfg.n_embd, name="proj")(out)
+        if return_att:
+            return out, att
+        return out
 
 
 class Block(nn.Module):
     config: GPTConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = x + CausalSelfAttention(self.config, name="attn")(
-            nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
+    def __call__(self, x: jax.Array, return_att: bool = False):
+        h = CausalSelfAttention(self.config, name="attn")(
+            nn.LayerNorm(epsilon=1e-5, name="ln1")(x), return_att=return_att
         )
+        att = None
+        if return_att:
+            h, att = h
+        x = x + h
         h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * self.config.n_embd, name="mlp_fc")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.config.n_embd, name="mlp_proj")(h)
-        return x + h
+        x = x + h
+        if return_att:
+            return x, att
+        return x
 
 
 class GPTFeats(nn.Module):
@@ -82,8 +92,18 @@ class GPTFeats(nn.Module):
     config: GPTConfig = GPTConfig()
 
     @nn.compact
-    def __call__(self, tokens: jax.Array, feats: Optional[jax.Array] = None):
-        """tokens (B, T_z) int32, feats (B, T_c, F) → logits (B, T_c+T_z, V)."""
+    def __call__(
+        self,
+        tokens: jax.Array,
+        feats: Optional[jax.Array] = None,
+        return_att: bool = False,
+    ):
+        """tokens (B, T_z) int32, feats (B, T_c, F) → logits (B, T_c+T_z, V).
+
+        ``return_att=True`` additionally returns the LAST block's attention
+        probabilities (B, H, T, T) — the reference GPT returns exactly this
+        for the ImageLogger attention grids (reference mingpt.py:115-175,
+        image_logger.py:51-61)."""
         cfg = self.config
         tok = nn.Embed(cfg.vocab_size, cfg.n_embd, name="tok_emb")(tokens)
         if feats is not None:
@@ -98,10 +118,16 @@ class GPTFeats(nn.Module):
             "pos_emb", nn.initializers.normal(0.02), (cfg.block_size, cfg.n_embd)
         )
         x = x + pos[None, :t]
+        att = None
         for i in range(cfg.n_layer):
-            x = Block(cfg, name=f"h_{i}")(x)
+            last = i == cfg.n_layer - 1
+            out = Block(cfg, name=f"h_{i}")(x, return_att=return_att and last)
+            x, att = out if (return_att and last) else (out, att)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_f")(x)
-        return nn.Dense(cfg.vocab_size, use_bias=False, name="head")(x)
+        logits = nn.Dense(cfg.vocab_size, use_bias=False, name="head")(x)
+        if return_att:
+            return logits, att
+        return logits
 
 
 def top_k_filter(logits: jax.Array, k: int) -> jax.Array:

@@ -139,6 +139,63 @@ class AVCondTransformer:
         """(B, 5, W') token grid → (B, 80, 16·W', 1) spectrogram."""
         return self.first_stage.decode_indices(params["vq"], grid)
 
+    # --------------------------------------------------- training media
+    def log_images(
+        self,
+        params: dict,
+        spec: jax.Array,
+        cond_spec: jax.Array,
+        frames: jax.Array,
+        key: jax.Array,
+        temperature: float = 1.0,
+        top_k: Optional[int] = 100,
+    ) -> dict:
+        """Validation media dict (reference ``log_images``,
+        av_cond_transformer.py:315-426): inputs, VQ reconstructions, a
+        "half" sample (first half of ref tokens given), a from-scratch
+        sample, a deterministic (greedy) sample — each as (B, 80, 160, 1)
+        spectrograms in [-1, 1] — plus the GPT's last-layer attention
+        probabilities (B, H, T, T) for each sampling variant."""
+        z = self.encode_to_z(params, spec)[:, : self.clip]
+        zp = self.encode_to_z(params, cond_spec)[:, : self.clip]
+        feats = self.encode_to_c(params, frames)
+        if top_k is not None:  # reference default 100; clamp for tiny vocabs
+            top_k = min(top_k, self.gpt.config.vocab_size)
+
+        def _run(prefix, steps, key, greedy=False):
+            buf = sample_tokens_cached(
+                params["gpt"], feats, prefix, steps, key,
+                config=self.gpt.config, temperature=temperature,
+                top_k=top_k, greedy=greedy,
+            )
+            sampled = buf[:, self.clip :]  # ref half of the token stream
+            grid = column_major_inverse(sampled)
+            # last-layer attention of the full forward over the final
+            # sequence — what the last sampling step attends to
+            _, att = self.gpt.apply(
+                params["gpt"], buf, feats, return_att=True
+            )
+            return self.decode_grid(params, grid), att
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        half = jnp.concatenate([zp, z[:, : self.clip // 2]], axis=1)
+        x_half, att_half = _run(half, self.clip - self.clip // 2, k1)
+        x_nopix, att_nopix = _run(zp, self.clip, k2)
+        x_det, att_det = _run(zp, self.clip, k3, greedy=True)
+
+        return {
+            "inputs": spec,
+            "reconstructions": self.decode_grid(
+                params, column_major_inverse(z)
+            ),
+            "samples_half": x_half,
+            "samples_nopix": x_nopix,
+            "samples_det": x_det,
+            "att_half": att_half,
+            "att_nopix": att_nopix,
+            "att_det": att_det,
+        }
+
     # ------------------------------------- sliding-window long generation
     def sample_long(
         self,

@@ -148,7 +148,13 @@ def _xattn_const(unet, p, embedding):
 
 
 def _plain_resnet(unet, p, h, t, channels):
-    mod = ResnetBlock1d(channels, groups=unet.resnet_groups, dtype=unet.dtype)
+    # Honor the UNet's remat/fused flags so fold_cap doesn't silently drop
+    # gradient checkpointing or the fused kernel on the unfolded tail levels.
+    block_cls = nn.remat(ResnetBlock1d) if unet.remat else ResnetBlock1d
+    mod = block_cls(
+        channels, groups=unet.resnet_groups, fused=unet.fused_resnet,
+        dtype=unet.dtype,
+    )
     return mod.apply({"params": p}, h, t)
 
 

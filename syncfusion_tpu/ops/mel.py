@@ -126,3 +126,29 @@ def power_to_db(s: jax.Array, ref: float = 1.0, amin: float = 1e-10, top_db: flo
     if top_db is not None:
         log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
     return log_spec
+
+
+def mel01_to_waveform_gl(
+    spec01: jax.Array,
+    sample_rate: int = 22050,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    n_iter: int = 32,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """[0,1]-scaled mel panel(s) ``(..., 80, T)`` → waveform via the exact
+    inverse scaling chain + mel-filterbank pseudo-inverse + Griffin-Lim
+    (the reference's vocoder-free decode, sample_visualization.py:178-204 /
+    inv_transforms).  Shared by the generation CLI fallback and the
+    training-media wav logging."""
+    from syncfusion_tpu.ops.stft import griffin_lim
+
+    mel = specvqgan_unscale(spec01)
+    n_mels = mel.shape[-2]
+    fb = np.asarray(
+        mel_filterbank(sample_rate, n_fft, n_mels, 125, 7600,
+                       scale="htk", norm="slaney")
+    )
+    lin = jnp.einsum("mf,...mt->...ft", jnp.asarray(np.linalg.pinv(fb).T), mel)
+    return griffin_lim(jnp.maximum(lin, 0.0), n_fft, hop_length,
+                       n_iter=n_iter, key=key)

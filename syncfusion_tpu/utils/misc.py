@@ -72,3 +72,34 @@ def log_hyperparameters(run_dir: str | Path, config: Any, params: Any = None) ->
     path = Path(run_dir) / "hparams.json"
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(out, indent=2, default=str))
+
+
+def load_dotenv(path: str | Path = ".env", override: bool = True) -> dict:
+    """Minimal ``.env`` loader (reference script/train_diffusion_model.py:15
+    ``dotenv.load_dotenv(override=True)``; `.env.tmp` documents the expected
+    keys — wandb creds and DIR_* paths consumed via ``${oc.env:}``).
+
+    Supports comments, blank lines, ``export KEY=VALUE`` and single/double
+    quoted values.  Returns the parsed mapping; silently no-ops when the
+    file doesn't exist (same as python-dotenv).
+    """
+    import os
+
+    path = Path(path)
+    parsed: dict[str, str] = {}
+    if not path.exists():
+        return parsed
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        if line.startswith("export "):
+            line = line[len("export "):]
+        key, _, value = line.partition("=")
+        key, value = key.strip(), value.strip()
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
+            value = value[1:-1]
+        parsed[key] = value
+        if override or key not in os.environ:
+            os.environ[key] = value
+    return parsed

@@ -166,3 +166,205 @@ def test_onset_cli_fit_and_test(tmp_path, monkeypatch):
     # label line plots (reference main/module_onset.py:231-261 parity)
     plots = list((runs2[-1] / "media/labels").glob("labels_*.png"))
     assert plots, "no label plots written"
+
+
+def test_gh_preprocess_videos_cli(tmp_path, monkeypatch):
+    """Drive script/gh_preprocess_videos.py end-to-end with stub
+    ffmpeg/ffprobe binaries (the real ones aren't in this image): metadata,
+    resampled audio, spectral-gate denoise, onset track, frames."""
+    import subprocess
+
+    rng = np.random.default_rng(3)
+    sr = 8000
+    # "Extracted" audio the ffmpeg stub will copy to any requested .wav
+    noisy = np.zeros((1, sr * 2), np.float32)
+    noisy[0, sr // 2 : sr // 2 + 400] = np.sin(
+        2 * np.pi * 660 * np.arange(400) / sr
+    ).astype(np.float32)
+    noisy += rng.normal(size=noisy.shape).astype(np.float32) * 0.02
+    src_wav = tmp_path / "source.wav"
+    write_wav(src_wav, noisy, sr)
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    probe_json = json.dumps({
+        "streams": [
+            {"codec_type": "video", "width": 320, "height": 240,
+             "avg_frame_rate": "15/1", "duration": "2.0", "nb_frames": "30"},
+            {"codec_type": "audio", "sample_rate": "44100", "channels": "2",
+             "duration": "2.0"},
+        ]
+    })
+    (bindir / "ffprobe").write_text(f"#!/bin/sh\ncat <<'EOF'\n{probe_json}\nEOF\n")
+    # ffmpeg stub: wav output → copy the prepared file; jpg pattern → touch 30
+    (bindir / "ffmpeg").write_text(
+        "#!/bin/sh\n"
+        "out=''\nfor a in \"$@\"; do out=\"$a\"; done\n"
+        "case \"$out\" in\n"
+        f"  *.wav) cp {src_wav} \"$out\" ;;\n"
+        "  *.jpg) i=1; while [ $i -le 30 ]; do\n"
+        "    p=$(printf \"$out\" $i 2>/dev/null || echo \"$out.$i\");\n"
+        "    : > \"$p\"; i=$((i+1)); done ;;\n"
+        "esac\n"
+    )
+    for f in bindir.iterdir():
+        f.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    (videos / "vid1.mp4").write_bytes(b"fake")
+    (tmp_path / "out").mkdir()
+    # hit_record.csv for the onset-track branch lives in the per-video out dir
+    (tmp_path / "out" / "vid1").mkdir()
+    (tmp_path / "out" / "vid1" / "hit_record.csv").write_text("0.5,hit\n1.0,hit\n")
+
+    import gh_preprocess_videos as gpv
+
+    gpv.main([
+        "--input_dir", str(videos), "--output_dir", str(tmp_path / "out"),
+        "--audio_sample_rate", str(sr), "--audio_denoise", "--audio_onsets",
+        "--num_workers", "1",
+    ])
+
+    out = tmp_path / "out" / "vid1"
+    meta = json.loads((out / "vid1.metadata.json").read_text())
+    assert meta["original"]["video_frame_rate"] == 15.0
+    assert meta["processed"]["audio_sample_rate"] == sr
+    audio = out / "audio"
+    assert (audio / "vid1.resampled.wav").exists()
+    from syncfusion_tpu.ops.wav import read_wav
+
+    den, dsr = read_wav(audio / "vid1.resampled_denoised.wav")
+    assert dsr == sr and den.shape == noisy.shape
+    # gate crushed the leading silent region's noise
+    sil = slice(0, sr // 4)
+    assert np.sum(den[0, sil] ** 2) < 0.05 * np.sum(noisy[0, sil] ** 2)
+    onset, _ = read_wav(audio / "vid1.resampled_onset.wav")
+    assert onset[0, sr // 2] == 1.0 and onset[0, sr] == 1.0
+    assert len(list((out / "frames").glob("*.jpg"))) == 30
+
+
+# ---------------------------------------------------------- baseline CLIs
+def _make_gh_root(tmp_path, n_videos=2, fps=5, dur=3.0, sr=8000):
+    """Greatest-Hits-processed layout (frames + resampled wav + times.csv)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    names = [f"vid_{chr(97 + i)}" for i in range(n_videos)]
+    for name in names:
+        d = tmp_path / name
+        (d / "audio").mkdir(parents=True)
+        (d / "frames").mkdir()
+        meta = {"processed": {"video_frame_rate": fps, "video_duration": dur}}
+        (d / f"{name}.metadata.json").write_text(json.dumps(meta))
+        (d / f"{name}.times.csv").write_text("0.4,hit\n1.2,hit\n2.1,hit\n")
+        wav = rng.normal(size=(1, int(sr * dur))).astype(np.float32) * 0.1
+        write_wav(d / "audio" / f"{name}.resampled.wav", wav, sr)
+        for i in range(1, int(dur * fps) + 2):
+            Image.fromarray(rng.integers(0, 255, (20, 20, 3), np.uint8)).save(
+                d / "frames" / f"{name}.frame_{i:06d}.jpg"
+            )
+    for split in ("train", "val", "test"):
+        (tmp_path / f"{split}.txt").write_text("\n".join(names) + "\n")
+    return tmp_path
+
+
+_TINY_VQ_MODEL = {
+    "embed_dim": 16, "n_embed": 32,
+    "ddconfig": {"ch": 8, "ch_mult": [1, 1, 2, 2, 4], "num_res_blocks": 1,
+                 "attn_resolutions": [10], "resolution": 160, "z_channels": 16},
+    "lossconfig": {"disc_start": 10**9, "perceptual_weight": 0.0},
+}
+
+
+def _tiny_baseline_cfg(tmp_path, gh_root, **extra):
+    cfg = {
+        "seed": 0,
+        "logs_dir": str(tmp_path / "logs"),
+        "model": dict(_TINY_VQ_MODEL),
+        "transformer": {"vocab_size": 32, "block_size": 128, "n_layer": 1,
+                        "n_head": 2, "n_embd": 16},
+        "n_frames": 20,
+        "data": {
+            "root_dir": str(gh_root),
+            "train_split_file_path": str(gh_root / "train.txt"),
+            "val_split_file_path": str(gh_root / "val.txt"),
+            "test_split_file_path": str(gh_root / "test.txt"),
+            "batch_size": 2, "sample_rate": 22050,
+            "chunk_length_in_seconds": 2.0, "frame_size": 16,
+            "p_audio_aug": 0.0,
+        },
+        "trainer": {"max_epochs": 1},
+    }
+    cfg.update(extra)
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+def test_train_codebook_cli_media(tmp_path):
+    """Stage-1 CLI writes recon panels AND vocoded wavs (ImageLogger
+    equivalent, reference image_logger.py:63-80)."""
+    gh = _make_gh_root(tmp_path / "gh")
+    cfg = _tiny_baseline_cfg(tmp_path, gh)
+
+    import train_codebook
+
+    train_codebook.main(["-c", str(cfg)])
+
+    runs = list((tmp_path / "logs").iterdir())
+    assert len(runs) == 1
+    media = runs[0] / "media"
+    assert list(media.glob("reconstructions_step*.png"))
+    wavs = sorted(media.glob("val_*_step*.wav"))
+    names = {w.name.split("_step")[0] for w in wavs}
+    assert {"val_inputs_0", "val_reconstructions_0"} <= names
+    from syncfusion_tpu.ops.wav import read_wav
+
+    w, sr = read_wav(wavs[0])
+    assert sr == 22050 and w.shape[-1] > 10000 and np.isfinite(w).all()
+
+
+def test_train_transformer_cli_media(tmp_path):
+    """Stage-2 CLI writes sample panels, ATTENTION grids and sample wavs
+    (reference av_cond_transformer.log_images + image_logger)."""
+    gh = _make_gh_root(tmp_path / "gh")
+    cfg = _tiny_baseline_cfg(tmp_path, gh)
+
+    import train_transformer
+
+    train_transformer.main(["-c", str(cfg)])
+
+    runs = list((tmp_path / "logs").iterdir())
+    media = runs[0] / "media"
+    assert list(media.glob("val_step*.png"))  # spec panel incl. samples
+    for k in ("att_half", "att_nopix", "att_det"):
+        assert list(media.glob(f"val_{k}_step*.png")), k
+    assert list(media.glob("val_samples_nopix_*_step*.wav"))
+
+
+def test_generate_audio_cli_sampling_and_style_transfer(tmp_path):
+    gh = _make_gh_root(tmp_path / "gh")
+    cfg = _tiny_baseline_cfg(tmp_path, gh)
+
+    import generate_audio
+
+    out1 = tmp_path / "gen"
+    generate_audio.main([
+        "--gh_testset", "-c", str(cfg), "--output_dir", str(out1),
+        "--batch_size", "2", "--top_k", "16",
+    ])
+    wavs = list(out1.glob("*.wav"))
+    assert len(wavs) >= 2
+    from syncfusion_tpu.ops.wav import read_wav
+
+    w, sr = read_wav(wavs[0])
+    assert sr == 22050 and np.isfinite(w).all()
+
+    out2 = tmp_path / "gen_style"
+    generate_audio.main([
+        "--gh_testset", "-c", str(cfg), "--output_dir", str(out2),
+        "--batch_size", "2", "--style_transfer", "--style_steps", "5",
+    ])
+    assert len(list(out2.glob("*.wav"))) >= 2
