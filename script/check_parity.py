@@ -250,6 +250,75 @@ def check_discriminator(reference_dir: str, ckpt: str | None, tol: float) -> flo
                    np.transpose(out_ours, (0, 3, 1, 2)), out_ref, tol)
 
 
+def check_adp_variant_sweep(ckpt: str, data: str | None, n_chunks: int = 8) -> dict:
+    """D4 disambiguation gate (docs/AUNET_MANIFEST.md): requires the REAL
+    published diffusion checkpoint (env-gated — Zenodo 12634630).
+
+    The positional converter matches by order+shape, so a wrong cat-order /
+    skip-scale guess loads cleanly but scrambles trained weights.  This
+    sweep loads the ckpt into every (cat_order × skip_scale) variant of the
+    compat model and computes the deterministic v-diffusion loss on test
+    chunks: the correct wiring must land near the published valid_loss
+    (0.008, reference README.md:192) and beat the alternatives decisively.
+    Returns {variant: loss}, prints the winner.
+    """
+    import dataclasses
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.models.adp_compat import Encoder1dCompat, UNetV0Compat
+    from syncfusion_tpu.models.adp_convert import load_diffusion_ckpt
+    from syncfusion_tpu.models.adp_torch_recon import Encoder1dConfig, UNetV0Config
+    from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
+
+    if data:
+        from syncfusion_tpu.data.sfx_dataset import create_sfx_dataset
+
+        items = []
+        for item in create_sfx_dataset(data, chunk_size=2**18, shift_augment=False,
+                                       cut_prefix=True, one_chunk_per_track=True,
+                                       shardshuffle=False)(seed=0):
+            items.append(item)
+            if len(items) >= n_chunks:
+                break
+        wav = np.stack([i["wav"] for i in items])
+        onsets = np.stack([i["onsets"] for i in items])
+    else:  # synthetic fallback — still discriminative, not the real gate
+        rng = np.random.default_rng(0)
+        wav = rng.normal(size=(n_chunks, 2**18, 1)).astype(np.float32) * 0.1
+        onsets = np.zeros_like(wav)
+        onsets[:, ::48000] = 1.0
+
+    emb = np.zeros((wav.shape[0], 1, 512), np.float32)
+    ecfg = Encoder1dConfig()
+    losses: dict[str, float] = {}
+    for cat, scale in itertools.product(("skip_first", "x_first"), (2.0**-0.5, 1.0)):
+        ucfg = dataclasses.replace(UNetV0Config(), cat_order=cat, skip_scale=scale)
+        params = load_diffusion_ckpt(ckpt, ucfg, ecfg)
+        model = SyncFusionDiffusion(
+            unet=UNetV0Compat(cfg=ucfg), onsets_encoder=Encoder1dCompat(cfg=ecfg)
+        )
+        loss = jax.jit(model.loss)(
+            params, jax.random.key(0), jnp.asarray(wav), jnp.asarray(onsets),
+            jnp.asarray(emb),
+        )
+        name = f"cat={cat},skip_scale={scale:.4f}"
+        losses[name] = float(loss)
+        print(f"adp_variant_sweep: {name}: v-loss {losses[name]:.6f}")
+
+    best = min(losses, key=losses.get)
+    ranked = sorted(losses.values())
+    margin = ranked[1] / max(ranked[0], 1e-12)
+    print(f"adp_variant_sweep: best = {best} "
+          f"(margin vs runner-up {margin:.2f}x)")
+    if best != "cat=skip_first,skip_scale=0.7071":
+        print("adp_variant_sweep: WARNING — derivation default is NOT the "
+              "best variant; update UNetV0Config defaults to the winner.")
+    return losses
+
+
 def main(argv=None) -> None:
     checks = {
         "onset": check_onset,
@@ -260,12 +329,22 @@ def main(argv=None) -> None:
         "discriminator": check_discriminator,
     }
     ap = argparse.ArgumentParser()
-    ap.add_argument("component", choices=[*checks, "all"])
-    ap.add_argument("--reference_dir", required=True)
+    ap.add_argument("component", choices=[*checks, "adp_variant_sweep", "all"])
+    ap.add_argument("--reference_dir", required=False, default=None)
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--data", default=None,
+                    help="test shard .tar for the adp_variant_sweep gate")
     ap.add_argument("--tol", type=float, default=1e-4)
     args = ap.parse_args(argv)
 
+    if args.component == "adp_variant_sweep":
+        if not args.ckpt:
+            sys.exit("adp_variant_sweep needs --ckpt <epoch=784...ckpt> "
+                     "(published checkpoint, Zenodo 12634630 — env-gated)")
+        check_adp_variant_sweep(args.ckpt, args.data)
+        return
+
+    assert args.reference_dir, "--reference_dir is required"
     names = list(checks) if args.component == "all" else [args.component]
     worst = 0.0
     for name in names:

@@ -2,4 +2,5 @@
 python script/generate_audio.py --gh_testset \
   -c cfg/condfoleygen/greatesthit_transformer.yaml \
   --transformer_ckpt_path ${1:?transformer ckpt} --vq_ckpt ${2:?vq ckpt} \
-  ${3:+--melgan_ckpt $3} --output_dir output/condfoleygen
+  ${3:+--melgan_ckpt $3} --output_dir output/condfoleygen \
+"$@"

@@ -5,4 +5,5 @@ experiment_path=./output/experiments/gh-gen-text \
 evaluation.gt_dir=./output/experiments/gh-gt \
 experiment.dataset.path="data/greatest-hits/webdataset/test_shard_1.tar" \
 model.embedder_checkpoint="checkpoints/630k-audioset-best.pt" \
-model_path="checkpoints/diffusion-run/ckpts"
+model_path="checkpoints/diffusion-run/ckpts" \
+"$@"

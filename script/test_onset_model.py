@@ -9,6 +9,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from syncfusion_tpu.core.cache import enable_compile_cache
+enable_compile_cache()
+
 from train_onset_model import main
 
 if __name__ == "__main__":

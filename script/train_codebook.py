@@ -13,6 +13,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from syncfusion_tpu.core.cache import enable_compile_cache
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,1 +1,2 @@
-python script/train_codebook.py -c cfg/condfoleygen/greatesthit_codebook.yaml
+python script/train_codebook.py -c cfg/condfoleygen/greatesthit_codebook.yaml \
+"$@"

@@ -1,2 +1,3 @@
 # usage: sh script/train_transformer.sh VQ_CKPT_DIR
-python script/train_transformer.py -c cfg/condfoleygen/greatesthit_transformer.yaml --vq_ckpt ${1:?codebook ckpt dir}
+python script/train_transformer.py -c cfg/condfoleygen/greatesthit_transformer.yaml --vq_ckpt ${1:?codebook ckpt dir} \
+"$@"

@@ -137,11 +137,15 @@ class _Inject(nn.Module):
 class _MergeCat(nn.Module):
     channels: int
     skip_scale: float
+    cat_order: str = "skip_first"  # D4 runtime switch (see adp_torch_recon)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, skip, x):
-        h = jnp.concatenate([skip * self.skip_scale, x], axis=-1)
+        pair = [skip * self.skip_scale, x]
+        if self.cat_order == "x_first":
+            pair = pair[::-1]
+        h = jnp.concatenate(pair, axis=-1)
         return nn.Conv(self.channels, (1,), dtype=self.dtype, name="conv")(h)
 
 
@@ -206,7 +210,9 @@ class _Block(nn.Module):
             x = _Block(cfg, lvl + 1, remat=self.remat, dtype=self.dtype,
                        name="inner")(x, features, embedding, context)
             for j, kind in enumerate(kinds):
-                merge = _MergeCat(ch, cfg.skip_scale, dtype=self.dtype,
+                merge = _MergeCat(ch, cfg.skip_scale,
+                                  cat_order=getattr(cfg, "cat_order", "skip_first"),
+                                  dtype=self.dtype,
                                   name=f"skip_adapters_{j}")
                 x = merge(skips[len(skips) - 1 - j], x)
                 x = self._apply_item(kind, self._item(kind, j, "up"), x,

@@ -99,8 +99,13 @@ class UNetV0Config:
     modulation_features: int = 1024
     resnet_groups: int = 8
     out_channels: Optional[int] = None
-    # flagged-uncertain structural knobs (defaults = best derivation)
+    # flagged-uncertain structural knobs (defaults = best derivation).
+    # D4 remains checkpoint-undecidable offline; both knobs are runtime
+    # switches so the real-ckpt gate (script/check_parity.py
+    # adp_variant_sweep) can select the wiring whose v-loss reproduces the
+    # published valid_loss instead of silently trusting a guess.
     skip_scale: float = 2.0 ** -0.5
+    cat_order: str = "skip_first"  # or "x_first" — torch.cat argument order
     fourier_dim: int = 256
 
     def item_kinds(self, level: int) -> List[str]:
@@ -260,7 +265,10 @@ def build_unet_recon(cfg: UNetV0Config):
             self.conv = nn.Conv1d(ch * 2, ch, 1)
 
         def forward(self, skip, x):
-            return self.conv(torch.cat([skip * cfg.skip_scale, x], dim=1))
+            pair = [skip * cfg.skip_scale, x]
+            if cfg.cat_order == "x_first":
+                pair = pair[::-1]
+            return self.conv(torch.cat(pair, dim=1))
 
     def make_item(kind: str, level: int) -> "nn.Module":
         ch = cfg.channels[level]

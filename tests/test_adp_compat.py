@@ -252,3 +252,40 @@ def test_lightning_ckpt_ingestion(tmp_path):
         embedding_scale=2.0,
     )
     assert wav.shape == (1, 16, 1) and np.isfinite(np.asarray(wav)).all()
+
+
+@pytest.mark.parametrize("cat_order,skip_scale", [
+    ("skip_first", 2.0 ** -0.5), ("x_first", 1.0),
+])
+def test_unet_d4_variant_knobs_parity(cat_order, skip_scale):
+    """D4 runtime switches (cat order / skip scale) stay torch⇄jax exact in
+    BOTH positions, and flipping them genuinely changes the function — the
+    property the adp_variant_sweep checkpoint gate relies on."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, cat_order=cat_order, skip_scale=skip_scale)
+    recon = build_unet_recon(cfg).eval()
+    x, t, emb, ctx = _torch_inputs(cfg)
+    with torch.no_grad():
+        ref = recon(x, t, embedding=emb, channels=ctx).numpy()
+
+    model = UNetV0Compat(cfg=cfg)
+    params = convert_unet_state(recon.state_dict(), cfg)
+    out = model.apply(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 1)), jnp.asarray(t.numpy()),
+        context=_to_jax_ctx(ctx), embedding=jnp.asarray(emb.numpy()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 2, 1), ref, rtol=2e-4, atol=2e-5
+    )
+
+    # discriminability: the other cat order gives a different output from
+    # the SAME params
+    other = dataclasses.replace(
+        cfg, cat_order="x_first" if cat_order == "skip_first" else "skip_first"
+    )
+    out_other = UNetV0Compat(cfg=other).apply(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 1)), jnp.asarray(t.numpy()),
+        context=_to_jax_ctx(ctx), embedding=jnp.asarray(emb.numpy()),
+    )
+    assert np.abs(np.asarray(out) - np.asarray(out_other)).max() > 1e-4
