@@ -48,6 +48,7 @@ class SyncFusionDiffusion:
         dtype=jnp.float32,
         compat: Optional[bool] = None,
         fold_cap: Optional[int] = None,
+        fused_stats: Optional[bool] = None,
     ):
         """Build from an exp/model/diffusion.yaml-style config node (or the
         reference defaults when None).
@@ -77,9 +78,12 @@ class SyncFusionDiffusion:
                 unet=UNetV0Compat(cfg=ucfg, dtype=dtype),
                 onsets_encoder=Encoder1dCompat(cfg=ecfg, dtype=dtype),
             )
+        if fused_stats is None:
+            fused_stats = bool(model_cfg and model_cfg.get("model", {}).get(
+                "fused_stats", False))
         if model_cfg is None:
             return cls(
-                unet=UNet1d(dtype=dtype),
+                unet=UNet1d(dtype=dtype, fused_stats=fused_stats),
                 onsets_encoder=Encoder1d(dtype=dtype),
                 fold_cap=fold_cap,
             )
@@ -99,6 +103,7 @@ class SyncFusionDiffusion:
             embedding_max_length=m.get("embedding_max_length", 1),
             use_embedding_cfg=m.get("use_embedding_cfg", True),
             flash_attention=m.get("flash_attention", False),
+            fused_stats=fused_stats,
             dtype=dtype,
         )
         encoder = Encoder1d(

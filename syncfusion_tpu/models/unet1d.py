@@ -58,6 +58,9 @@ class UNet1d(nn.Module):
     remat: bool = False  # jax.checkpoint each resnet block (memory ↓, FLOPs ↑)
     fused_resnet: bool = False  # Pallas-fused GN/FiLM/SiLU/conv chain
     flash_attention: bool = False  # Pallas flash attention (TPU; has VJP)
+    # folded-execution option: Pallas convs that emit their output's group
+    # stats so the next GN never re-reads HBM (ops/fused_resblock.py)
+    fused_stats: bool = False
     fused_block_l: int = 4096
     dtype: jnp.dtype = jnp.float32
 

@@ -39,6 +39,8 @@ from syncfusion_tpu.ops.folded import (
     fold,
     folded_conv3,
     folded_group_norm,
+    folded_group_stats,
+    folded_stats_affine,
     unfold,
 )
 
@@ -104,6 +106,60 @@ def _film(p, t_silu):
     out = t_silu @ p["kernel"] + p["bias"]
     fs, ft = jnp.split(out, 2, axis=-1)
     return fs, ft
+
+
+def _folded_resnet_stats(unet, p, h, t_silu, f, channels, in_stats=None):
+    """Folded ResnetBlock1d via the producer-side-stats Pallas path
+    (ops/fused_resblock.fused_affine_silu_conv_stats): each conv reads its
+    input ONCE and emits the group sums the next GroupNorm needs, so the
+    separate stats pass over HBM disappears (docs/ROADMAP.md #1).
+
+    ``in_stats``: (sum, sumsq) of ``h`` from the previous item's conv2 —
+    ``None`` at chain starts (post-concat inputs), where one XLA reduce
+    pays the read the plain path also pays.  Returns ``(out, out_stats)``
+    with ``out_stats`` grouped for the NEXT item's GN_0.
+    """
+    from syncfusion_tpu.ops.fused_resblock import fused_affine_silu_conv_stats
+
+    b, r, _ = h.shape
+    in_ch = h.shape[-1] // f
+    block_l = min(unet.fused_block_l, r)
+    fs, ft = _film(p["film"], t_silu)
+
+    g0 = _gn_groups(in_ch, unet.resnet_groups)
+    s0, ss0 = folded_group_stats(h, g0) if in_stats is None else in_stats
+    sc0, sh0 = folded_stats_affine(
+        s0, ss0, r * (in_ch // g0) * f,
+        p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g0, f,
+        film_scale=fs, film_shift=ft,
+    )
+
+    g1 = _gn_groups(channels, unet.resnet_groups)
+    c1, s1, ss1 = fused_affine_silu_conv_stats(
+        h, sc0, sh0,
+        expand_conv(p["conv1"]["kernel"], 1, f).astype(unet.dtype),
+        jnp.repeat(p["conv1"]["bias"], f),
+        num_groups=g1, block_l=block_l,
+    )
+    sc1, sh1 = folded_stats_affine(
+        s1, ss1, r * (channels // g1) * f,
+        p["GroupNorm_1"]["scale"], p["GroupNorm_1"]["bias"], g1, f,
+    )
+
+    if in_ch != channels:
+        residual = folded_conv3(
+            h, expand_conv(p["skip_proj"]["kernel"], 1, f), None, f,
+            dtype=unet.dtype,
+        )
+    else:
+        residual = h
+    out, s2, ss2 = fused_affine_silu_conv_stats(
+        c1, sc1, sh1,
+        expand_conv(p["conv2"]["kernel"], 1, f).astype(unet.dtype),
+        jnp.repeat(p["conv2"]["bias"], f),
+        residual=residual, num_groups=g1, block_l=block_l,
+    )
+    return out, (s2, ss2)
 
 
 def _folded_resnet(unet, p, h, t_silu, f, channels):
@@ -231,9 +287,14 @@ def folded_apply(
             embedding = jnp.where(mask, fixed, embedding)
 
     def run_items(h, level, path, f):
+        stats = None  # producer-side stats threaded item→item (fused_stats)
         for j in range(unet.items[level]):
             sub = p[f"{path}_res_{level}_{j}"]
-            if f > 1:
+            if f > 1 and unet.fused_stats:
+                h, stats = _folded_resnet_stats(
+                    unet, sub, h, t_silu, f, unet.channels[level], stats
+                )
+            elif f > 1:
                 h = _folded_resnet(unet, sub, h, t_silu, f, unet.channels[level])
             else:
                 h = _plain_resnet(unet, sub, h, time_emb, unet.channels[level])

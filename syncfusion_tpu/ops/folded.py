@@ -173,3 +173,63 @@ def folded_group_norm(
     # stats/affine in f32 (flax semantics); emit in the compute dtype so the
     # following silu/conv pass doesn't move f32 activations through HBM
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def folded_group_stats(x_f: jax.Array, num_groups: int) -> tuple[jax.Array, jax.Array]:
+    """Per-(batch, group) ``(sum, sumsq)`` of a channel-major folded map —
+    the one-XLA-read fallback for chain starts (post-concat inputs) in the
+    producer-side-stats resnet path."""
+    b, r, cf = x_f.shape
+    x32 = x_f.astype(jnp.float32)
+    xg = x32.reshape(b, r, num_groups, cf // num_groups)
+    return xg.sum(axis=(1, 3)), (xg * xg).sum(axis=(1, 3))
+
+
+def folded_stats_affine(
+    s: jax.Array,
+    ss: jax.Array,
+    count: int,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int,
+    f: int,
+    film_scale: Optional[jax.Array] = None,
+    film_shift: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+) -> tuple[jax.Array, jax.Array]:
+    """(B, G) sums → per-(batch, folded-channel) affine folding GN γ/β, the
+    stats, and optional FiLM into one ``x·scale + shift``.
+
+    The counterpart of :func:`folded_group_norm` when the statistics were
+    already produced by the upstream kernel
+    (ops/fused_resblock.fused_affine_silu_conv_stats): with
+    ``mean = s/count``, ``var = ss/count − mean²``,
+
+        GN(x)·γ(1+fs) + β(1+fs) + ft  ≡  x·scale + shift.
+
+    Returns (scale, shift), each (B, C·f) float32.
+    """
+    c = gamma.shape[0]
+    mean = s / count                                  # (B, G)
+    var = ss / count - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+
+    cols = c // num_groups
+    inv_c = jnp.repeat(inv, cols, axis=1)             # (B, C)
+    mean_c = jnp.repeat(mean, cols, axis=1)
+    g32 = gamma.astype(jnp.float32)[None]
+    b32 = beta.astype(jnp.float32)[None]
+
+    one_plus = (
+        1.0 + film_scale.astype(jnp.float32)
+        if film_scale is not None else jnp.ones_like(g32)
+    )
+    scale = inv_c * g32 * one_plus                    # (B, C)
+    shift = (b32 - mean_c * inv_c * g32) * one_plus
+    if film_shift is not None:
+        shift = shift + film_shift.astype(jnp.float32)
+    # expand to folded channel-major layout (channel c occupies cols c·f..c·f+f)
+    return (
+        jnp.repeat(scale, f, axis=1),
+        jnp.repeat(shift, f, axis=1),
+    )

@@ -324,3 +324,188 @@ def fold_groupnorm_film(x, gamma, beta, film_scale, film_shift, num_groups,
     scale = inv_c * gamma[None] * one_plus
     shift = (beta[None] - mean_c * inv_c * gamma[None]) * one_plus + film_shift
     return scale, shift
+
+
+# ---------------------------------------------------------------------------
+# Producer-side group statistics (one-pass GN chain, docs/ROADMAP.md #1)
+# ---------------------------------------------------------------------------
+
+def _group_mask(cout: int, groups: int) -> np.ndarray:
+    """(Cout, G) one-hot column→group matrix (groups = contiguous slices)."""
+    cols = cout // groups
+    m = np.zeros((cout, groups), np.float32)
+    for g in range(groups):
+        m[g * cols : (g + 1) * cols, g] = 1.0
+    return m
+
+
+def _stats_kernel_factory(groups: int, has_residual: bool):
+    def kernel(*refs):
+        if has_residual:
+            x_ref, scale_ref, shift_ref, w_ref, b_ref, r_ref, o_ref, s_ref, ss_ref = refs
+        else:
+            x_ref, scale_ref, shift_ref, w_ref, b_ref, o_ref, s_ref, ss_ref = refs
+            r_ref = None
+        x = x_ref[0].astype(jnp.float32)                # (TL, C)
+        scale = scale_ref[0].astype(jnp.float32)
+        shift = shift_ref[0].astype(jnp.float32)
+        h = x * scale + shift
+        h = h * jax.nn.sigmoid(h)
+        tl = h.shape[0]
+        w = w_ref[...].astype(jnp.float32)              # (3, C, Cout)
+
+        def mm(a, kern):
+            return jax.lax.dot_general(
+                a, kern, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = mm(h, w[1])
+        zero = jnp.zeros((1, h.shape[1]), jnp.float32)
+        acc += mm(jnp.concatenate([zero, h[: tl - 1]], axis=0), w[0])
+        acc += mm(jnp.concatenate([h[1:], zero], axis=0), w[2])
+        acc += b_ref[...].astype(jnp.float32)
+        if r_ref is not None:
+            acc += r_ref[0].astype(jnp.float32)
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+        # per-group sums of the f32 output: ones-row colsum, then group mask
+        cout = acc.shape[1]
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (cout, groups), 0)
+            // (cout // groups)
+            == jax.lax.broadcasted_iota(jnp.int32, (cout, groups), 1)
+        ).astype(jnp.float32)
+        # ones(8, TL) @ acc: every result row equals the column sum (8
+        # sublanes keep the MXU operand tile-aligned); row 0 is used.
+        ones = jnp.ones((8, tl), jnp.float32)
+        colsum = jax.lax.dot_general(
+            ones, acc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        colsumsq = jax.lax.dot_general(
+            ones, acc * acc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s_ref[0, 0] = mm(colsum, mask)[0]
+        ss_ref[0, 0] = mm(colsumsq, mask)[0]
+
+    return kernel
+
+
+def fused_affine_silu_conv_stats(
+    x, scale, shift, weight, bias,
+    residual=None,
+    num_groups: int = 8,
+    block_l: int = DEFAULT_BLOCK_L,
+    interpret: bool = False,
+):
+    """Blocked fused op that ALSO emits its output's per-group statistics.
+
+    ``y = conv1d_k3(silu(x·scale+shift)) + bias [+ residual]`` plus
+    ``(sum, sumsq)`` of y over (L, group channels), each (B, G) float32 —
+    so the NEXT GroupNorm's stats pass never re-reads y from HBM (the
+    producer-side fusion XLA cannot do; docs/ROADMAP.md #1).  Same
+    block-local + XLA-boundary-fix scheme as
+    :func:`fused_affine_silu_conv_blocked`; the boundary corrections update
+    the statistics exactly (the delta is linear/quadratic in the corrected
+    rows, all known in XLA).
+
+    Stats are computed from the float32 accumulator (before the cast to
+    ``x.dtype``) — identical in f32 mode, below-rounding different in bf16.
+    """
+    b, l, c = x.shape
+    cout = weight.shape[-1]
+    assert l % block_l == 0, f"L={l} not divisible by block_l={block_l}"
+    assert cout % num_groups == 0
+    nb = l // block_l
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    grid = (b, nb)
+    in_specs = [
+        pl.BlockSpec((1, block_l, c), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, c, cout), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, scale[:, None, :], shift[:, None, :], weight, bias[None]]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, block_l, cout), lambda i, j: (i, j, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    y, s_part, ss_part = pl.pallas_call(
+        _stats_kernel_factory(num_groups, residual is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_l, cout), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, num_groups), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, num_groups), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, cout), x.dtype),
+            jax.ShapeDtypeStruct((b, nb, num_groups), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, num_groups), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+    s = s_part.sum(axis=1)
+    ss = ss_part.sum(axis=1)
+
+    if nb > 1:
+        # ---- boundary corrections + exact stats deltas ------------------
+        bpos = jnp.arange(1, nb) * block_l
+        xf = x.astype(jnp.float32)
+
+        def act(rows):
+            h = rows * scale[:, None, :] + shift[:, None, :]
+            return jax.nn.silu(h)
+
+        h_first = act(xf[:, bpos])
+        h_last = act(xf[:, bpos - 1])
+        w = weight.astype(jnp.float32)
+        corr_prev = jnp.einsum("bnc,cd->bnd", h_first, w[2])
+        corr_next = jnp.einsum("bnc,cd->bnd", h_last, w[0])
+
+        y_old_prev = y[:, bpos - 1].astype(jnp.float32)
+        y_old_next = y[:, bpos].astype(jnp.float32)
+
+        y = y.astype(jnp.float32)
+        y = y.at[:, bpos - 1].add(corr_prev)
+        y = y.at[:, bpos].add(corr_next)
+        y = y.astype(x.dtype)
+
+        mask = jnp.asarray(_group_mask(cout, num_groups))
+        corr = jnp.concatenate([corr_prev, corr_next], axis=1)
+        y_old = jnp.concatenate([y_old_prev, y_old_next], axis=1)
+        s = s + jnp.einsum("bnc,cg->bg", corr, mask)
+        ss = ss + jnp.einsum(
+            "bnc,cg->bg", 2.0 * y_old * corr + corr * corr, mask
+        )
+
+    return y, s, ss
+
+
+def _stats_reference(x, scale, shift, weight, bias, residual, num_groups):
+    """Plain-JAX reference for :func:`fused_affine_silu_conv_stats`
+    (single f32 accumulate + one cast, matching the kernel)."""
+    h = jax.nn.silu(x.astype(jnp.float32) * scale[:, None, :] + shift[:, None, :])
+    y = jax.lax.conv_general_dilated(
+        h, weight.astype(jnp.float32), (1,), [(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    ) + bias
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    b, l, cout = y.shape
+    yg = y.reshape(b, l, num_groups, cout // num_groups)
+    s = yg.sum(axis=(1, 3))
+    ss = (yg * yg).sum(axis=(1, 3))
+    return y.astype(x.dtype), s, ss

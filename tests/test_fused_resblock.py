@@ -112,3 +112,65 @@ def test_blocked_single_block():
                                          interpret=True)
     ref = _reference(x, scale, shift, w, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+# ------------------------------------------------- producer-side stats op
+@pytest.mark.parametrize("with_residual", [False, True])
+@pytest.mark.parametrize("nb", [1, 4])
+def test_fused_conv_stats_matches_reference(rng, with_residual, nb):
+    from syncfusion_tpu.ops.fused_resblock import (
+        _stats_reference,
+        fused_affine_silu_conv_stats,
+    )
+
+    b, c, cout, groups = 2, 24, 32, 8
+    block_l = 64
+    l = block_l * nb
+    x = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.normal(size=(3, c, cout)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32) * 0.1)
+    res = (
+        jnp.asarray(rng.normal(size=(b, l, cout)).astype(np.float32))
+        if with_residual else None
+    )
+
+    y, s, ss = fused_affine_silu_conv_stats(
+        x, scale, shift, w, bias, residual=res, num_groups=groups,
+        block_l=block_l, interpret=True,
+    )
+    y_ref, s_ref, ss_ref = _stats_reference(x, scale, shift, w, bias, res, groups)
+
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ss_ref),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_folded_stats_affine_matches_folded_group_norm(rng):
+    from syncfusion_tpu.ops.folded import (
+        folded_group_norm,
+        folded_group_stats,
+        folded_stats_affine,
+    )
+
+    b, r, c, f, groups = 2, 32, 16, 4, 4
+    x = jnp.asarray(rng.normal(size=(b, r, c * f)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    fs = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32) * 0.3)
+    ft = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32) * 0.1)
+
+    ref = folded_group_norm(x, gamma, beta, groups, f,
+                            film_scale=fs, film_shift=ft)
+
+    s, ss = folded_group_stats(x, groups)
+    count = r * (c // groups) * f
+    scale, shift = folded_stats_affine(s, ss, count, gamma, beta, groups, f,
+                                       film_scale=fs, film_shift=ft)
+    got = x.astype(jnp.float32) * scale[:, None, :] + shift[:, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -196,3 +196,16 @@ def test_forward_equivalence_strided_entry():
     ref = u.apply(p, x, sigma, context=ctx, embedding=emb)
     out = folded_apply(u, p, x, sigma, context=ctx, embedding=emb)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_stats_path_equivalence(setup):
+    """fused_stats=True (producer-side-stats Pallas path, interpret mode on
+    CPU) matches the plain folded execution at f32 round-off."""
+    u, p, x, sigma, ctx, emb = setup
+    base = folded_apply(u, p, x, sigma, context=ctx, embedding=emb,
+                        fold_cap=256)
+    u_fs = u.clone(fused_stats=True)
+    got = folded_apply(u_fs, p, x, sigma, context=ctx, embedding=emb,
+                       fold_cap=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)
