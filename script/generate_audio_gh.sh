@@ -1,6 +1,8 @@
 # usage: sh script/generate_audio_gh.sh TRANSFORMER_CKPT VQ_CKPT [MELGAN_CKPT]
+tck=${1:?transformer ckpt}; vck=${2:?vq ckpt}; mck=${3:-}
+if [ $# -ge 3 ]; then shift 3; else shift 2; fi
 python script/generate_audio.py --gh_testset \
   -c cfg/condfoleygen/greatesthit_transformer.yaml \
-  --transformer_ckpt_path ${1:?transformer ckpt} --vq_ckpt ${2:?vq ckpt} \
-  ${3:+--melgan_ckpt $3} --output_dir output/condfoleygen \
+  --transformer_ckpt_path "$tck" --vq_ckpt "$vck" \
+  ${mck:+--melgan_ckpt $mck} --output_dir output/condfoleygen \
 "$@"

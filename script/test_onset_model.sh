@@ -1,3 +1,4 @@
 # usage: sh script/test_onset_model.sh LOGDIR CKPTDIR
-python script/test_onset_model.py test --config ${1:?run config.yaml} --ckpt_path ${2:?ckpt dir} \
+cfg=${1:?run config.yaml}; ckpt=${2:?ckpt dir}; shift 2
+python script/test_onset_model.py test --config "$cfg" --ckpt_path "$ckpt" \
 "$@"

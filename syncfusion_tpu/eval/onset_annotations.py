@@ -71,7 +71,10 @@ def concat_annotations(out_dir: str | Path) -> None:
         videos: dict[str, list[float]] = {}
         for f in chunk_files:
             video = Path(f).name.split(".")[0]
-            times = np.loadtxt(f, delimiter=",", ndmin=1).tolist()
+            text = Path(f).read_text().strip()
+            # a chunk with zero onsets writes an empty CSV — legal, not a
+            # warning (np.loadtxt warns "input contained no data" on it)
+            times = [float(line) for line in text.splitlines() if line.strip()]
             videos.setdefault(video, []).extend(times)
         for video, times in videos.items():
             np.savetxt(d / f"{video}.times.csv", times, fmt="%.4f", delimiter="\n")

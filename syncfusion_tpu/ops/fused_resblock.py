@@ -393,7 +393,7 @@ def _stats_kernel_factory(groups: int, has_residual: bool):
     return kernel
 
 
-def fused_affine_silu_conv_stats(
+def _fused_stats_forward(
     x, scale, shift, weight, bias,
     residual=None,
     num_groups: int = 8,
@@ -509,3 +509,52 @@ def _stats_reference(x, scale, shift, weight, bias, residual, num_groups):
     s = yg.sum(axis=(1, 3))
     ss = (yg * yg).sum(axis=(1, 3))
     return y.astype(x.dtype), s, ss
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_affine_silu_conv_stats(
+    x, scale, shift, weight, bias, residual=None,
+    num_groups: int = 8, block_l: int = DEFAULT_BLOCK_L,
+    interpret: bool = False,
+):
+    """See :func:`_fused_stats_forward`.  Differentiable: the backward
+    recomputes through the plain-JAX reference (same scheme as
+    :func:`fused_affine_silu_conv`), so the stats path is usable in
+    training graphs too."""
+    return _fused_stats_forward(
+        x, scale, shift, weight, bias, residual,
+        num_groups=num_groups, block_l=block_l, interpret=interpret,
+    )
+
+
+def _stats_fwd(x, scale, shift, weight, bias, residual,
+               num_groups, block_l, interpret):
+    out = _fused_stats_forward(
+        x, scale, shift, weight, bias, residual,
+        num_groups=num_groups, block_l=block_l, interpret=interpret,
+    )
+    return out, (x, scale, shift, weight, bias, residual)
+
+
+def _stats_bwd(num_groups, block_l, interpret, res, g):
+    x, scale, shift, weight, bias, residual = res
+    has_res = residual is not None
+
+    def ref(*args):
+        if has_res:
+            x_, sc_, sh_, w_, b_, r_ = args
+        else:
+            x_, sc_, sh_, w_, b_ = args
+            r_ = None
+        return _stats_reference(x_, sc_, sh_, w_, b_, r_, num_groups)
+
+    primals = (x, scale, shift, weight, bias) + ((residual,) if has_res else ())
+    _, vjp = jax.vjp(ref, *primals)
+    g32 = jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), g)
+    grads = vjp(g32)
+    if not has_res:
+        grads = grads + (None,)
+    return grads
+
+
+fused_affine_silu_conv_stats.defvjp(_stats_fwd, _stats_bwd)

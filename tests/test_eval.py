@@ -168,3 +168,22 @@ def test_mux_roundtrip(tmp_path):
         put_text=True, text_start_frame=15,
     )
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_concat_annotations_zero_onset_chunk(tmp_path):
+    """A chunk with no onsets writes an empty CSV; merging must handle it
+    silently (VERDICT r2 weak #8 — loadtxt used to warn through it)."""
+    import warnings
+
+    from syncfusion_tpu.eval.onset_annotations import concat_annotations
+
+    d = tmp_path / "pred"
+    d.mkdir()
+    (d / "vid_a.0-30.times.csv").write_text("")          # zero onsets
+    (d / "vid_a.30-60.times.csv").write_text("2.5000\n3.1000\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")                    # any warning fails
+        concat_annotations(tmp_path)
+    merged = (d / "vid_a.times.csv").read_text().split()
+    assert merged == ["2.5000", "3.1000"]
+    assert not list(d.glob("*.0-30.times.csv"))

@@ -174,3 +174,36 @@ def test_folded_stats_affine_matches_folded_group_norm(rng):
     got = x.astype(jnp.float32) * scale[:, None, :] + shift[:, None, :]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_stats_gradients(rng):
+    """Stats-op VJP (recompute-through-reference) matches reference grads."""
+    from syncfusion_tpu.ops.fused_resblock import (
+        _stats_reference,
+        fused_affine_silu_conv_stats,
+    )
+
+    b, c, cout, groups, l = 1, 8, 16, 4, 64
+    x = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.normal(size=(3, c, cout)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.normal(size=(b, l, cout)).astype(np.float32))
+
+    def f_fused(x, w, res):
+        y, s, ss = fused_affine_silu_conv_stats(
+            x, scale, shift, w, bias, res, num_groups=groups,
+            block_l=32, interpret=True,
+        )
+        return jnp.sum(y**2) + jnp.sum(s) + jnp.sum(ss * 0.01)
+
+    def f_ref(x, w, res):
+        y, s, ss = _stats_reference(x, scale, shift, w, bias, res, groups)
+        return jnp.sum(y**2) + jnp.sum(s) + jnp.sum(ss * 0.01)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2))(x, w, res)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, w, res)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
