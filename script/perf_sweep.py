@@ -46,6 +46,10 @@ VARIANTS = {
     "folded256_b2": dict(fold_cap=256, bf16_params=False, batch=2),
     "folded256_b4_bf16p": dict(fold_cap=256, bf16_params=True, batch=4),
     "folded256_b6": dict(fold_cap=256, bf16_params=False, batch=6),
+    # producer-side GN stats fusion (ops/fused_resblock.fused_affine_silu_conv_stats)
+    "folded256_b4_stats": dict(fold_cap=256, bf16_params=False, batch=4,
+                               fused_stats=True),
+    "folded256_stats": dict(fold_cap=256, bf16_params=False, fused_stats=True),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
@@ -97,7 +101,8 @@ def run_train(name: str, fold_cap: int, flash: bool = False) -> None:
 
 
 def run(name: str, fold_cap: int, bf16_params: bool = False,
-        batch: int = BATCH, train: bool = False, flash: bool = False) -> None:
+        batch: int = BATCH, train: bool = False, flash: bool = False,
+        fused_stats: bool = False) -> None:
     if train:
         return run_train(name, fold_cap, flash)
     global BATCH
@@ -105,7 +110,7 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
     from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 
     model = SyncFusionDiffusion.from_config(
-        None, dtype=jnp.bfloat16, fold_cap=fold_cap
+        None, dtype=jnp.bfloat16, fold_cap=fold_cap, fused_stats=fused_stats
     )
     params = model.init(jax.random.key(0), LENGTH, batch=1)
     if bf16_params:

@@ -22,7 +22,7 @@ import numpy as np
 import yaml
 
 from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
-from syncfusion_tpu.core.config import Config
+from syncfusion_tpu.core.config import Config, merge
 from syncfusion_tpu.core.logging import MetricLogger, get_logger
 from syncfusion_tpu.data.baseline_dataset import GreatestHitsWaveDataset, baseline_loader
 from syncfusion_tpu.models.vqgan.model import VQModel, wav_to_spec
@@ -47,10 +47,14 @@ def build_vq_model(cfg) -> VQModel:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("-c", "--config", required=True)
+    # repeated -c composes configs in order (LightningCLI semantics, matches
+    # the reference `fit -c a.yaml -c b.yaml` invocation UX)
+    ap.add_argument("-c", "--config", action="append", required=True)
     ap.add_argument("--ckpt_path", default=None)
     args = ap.parse_args(argv)
-    cfg = Config.wrap(yaml.safe_load(open(args.config)))
+    cfg = Config()
+    for p in args.config:
+        cfg = merge(cfg, Config.wrap(yaml.safe_load(open(p))))
 
     m = cfg.model
     loss_cfg = m.get("lossconfig", Config())

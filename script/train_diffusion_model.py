@@ -60,6 +60,15 @@ def make_batches(dataset_fn, cfg, seed, embedder, length):
 
 
 def main(argv=None) -> None:
+    # Long TPU jobs run detached: make `kill -USR1` dump all thread stacks
+    # (diagnosis) and restore Ctrl-C semantics that `sh ... &` ignores.
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    if signal.getsignal(signal.SIGINT) is signal.SIG_IGN:
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+
     overrides = argv if argv is not None else sys.argv[1:]
     cfg = load_config(Path(__file__).resolve().parents[1] / "config.yaml", overrides)
     assert cfg.get("exp"), "pass exp=train_diffusion_gh"
@@ -138,7 +147,11 @@ def main(argv=None) -> None:
     rng = jax.random.key(cfg.seed + 1)
 
     step = int(state.step)
-    val_every = cfg.trainer.get("val_check_interval", 1000)
+    log_every = int(cfg.trainer.get("log_every_n_steps", 10))
+    val_every = int(cfg.trainer.get("val_check_interval", 1000))
+    max_steps = int(cfg.get("max_steps", 10**9))
+    log.info("schedule: log_every=%d val_every=%d max_steps=%d", log_every,
+             val_every, max_steps)
     t0 = time.time()
     for epoch in itertools.count():
         stream = device_prefetch(
@@ -150,8 +163,11 @@ def main(argv=None) -> None:
             rng, sub = jax.random.split(rng)
             state, metrics = trainer.train_step(state, batch, sub)
             step += 1
-            if step % cfg.trainer.get("log_every_n_steps", 10) == 0:
-                dt = (time.time() - t0) / cfg.trainer.get("log_every_n_steps", 10)
+            if step == 1:
+                log.info("first step done, train_loss=%.4f",
+                         float(metrics["train_loss"]))
+            if step % log_every == 0:
+                dt = (time.time() - t0) / log_every
                 metrics_logger.log(
                     {"train_loss": float(metrics["train_loss"]), "sec_per_step": dt},
                     step=step,
@@ -171,7 +187,7 @@ def main(argv=None) -> None:
                 ckpt.save(step, state, {"valid_loss": valid_loss})
                 log.info("step %d valid_loss %.4f", step, valid_loss)
                 _log_samples(cfg, model, state, embedder, metrics_logger, step)
-            if step >= cfg.get("max_steps", 10**9):
+            if step >= max_steps:
                 ckpt.wait()
                 return
         log.info("epoch %d done at step %d", epoch, step)

@@ -25,7 +25,7 @@ import yaml
 from syncfusion_tpu.ops.augment import random_audio_augment
 
 from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
-from syncfusion_tpu.core.config import Config
+from syncfusion_tpu.core.config import Config, merge
 from syncfusion_tpu.core.logging import MetricLogger, get_logger
 from syncfusion_tpu.data.baseline_dataset import (
     CondGreatestHitsWaveCondOnImage,
@@ -54,11 +54,15 @@ def build_model(cfg) -> AVCondTransformer:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("-c", "--config", required=True)
+    # repeated -c composes configs in order (LightningCLI semantics, matches
+    # the reference `fit -c a.yaml -c b.yaml` invocation UX)
+    ap.add_argument("-c", "--config", action="append", required=True)
     ap.add_argument("--vq_ckpt", default=None, help="trained codebook run dir")
     ap.add_argument("--ckpt_path", default=None)
     args = ap.parse_args(argv)
-    cfg = Config.wrap(yaml.safe_load(open(args.config)))
+    cfg = Config()
+    for p in args.config:
+        cfg = merge(cfg, Config.wrap(yaml.safe_load(open(p))))
 
     model = build_model(cfg)
     params = model.init(jax.random.key(cfg.get("seed", 0)),

@@ -43,11 +43,23 @@ class Checkpointer:
             best_mode=config.mode,
             keep_period=config.keep_every_n_steps,
             create=True,
+            # Synchronous commits: the async background thread raced with
+            # donated device buffers over the TPU tunnel (observed: composite
+            # finalize FileNotFoundError on the metrics item mid-training,
+            # leaving only a *.orbax-checkpoint-tmp dir).  Saves happen once
+            # per val interval, so blocking a few seconds is cheap.
+            enable_async_checkpointing=False,
         )
         self._mgr = ocp.CheckpointManager(directory, options=options)
 
     def save(self, step: int, state: Any, metrics: Optional[Mapping[str, float]] = None):
+        import jax
+
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        # Materialize on host first: trainers jit with donate_argnums=(0,), so
+        # the caller's next step invalidates these buffers; device_get is also
+        # the only reliable D2H sync over the tunnel (see CLAUDE.md timing note).
+        state = jax.device_get(state)
         self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics or None)
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
