@@ -31,7 +31,19 @@ class CheckpointConfig:
 
 
 class Checkpointer:
-    """Save/restore train state pytrees; keeps best-k by a monitored metric."""
+    """Save/restore train state pytrees; keeps best-k by a monitored metric.
+
+    Saves are asynchronous by design: trainers jit with
+    ``donate_argnums=(0,)``, so the caller's next step invalidates the state
+    buffers — ``save`` therefore takes an ON-DEVICE snapshot first (one
+    jitted copy, microseconds of device time) and hands it to a background
+    worker that drains it to host and commits the orbax checkpoint.  Over
+    the TPU tunnel the D2H drain of a ~2.5 GB Adam state takes minutes
+    (latency- then bandwidth-bound); doing it on the training thread
+    (observed: 13 min serial, ~5 min pipelined) would dwarf the training
+    interval itself.  At most one save is in flight — a second ``save``
+    first joins the previous one, bounding extra HBM to one state copy.
+    """
 
     def __init__(self, config: CheckpointConfig):
         self.config = config
@@ -43,24 +55,88 @@ class Checkpointer:
             best_mode=config.mode,
             keep_period=config.keep_every_n_steps,
             create=True,
-            # Synchronous commits: the async background thread raced with
+            # Synchronous orbax commits: orbax's own async thread raced with
             # donated device buffers over the TPU tunnel (observed: composite
             # finalize FileNotFoundError on the metrics item mid-training,
-            # leaving only a *.orbax-checkpoint-tmp dir).  Saves happen once
-            # per val interval, so blocking a few seconds is cheap.
+            # leaving only a *.orbax-checkpoint-tmp dir).  Async-ness lives
+            # in OUR worker, which owns an undonated snapshot.
             enable_async_checkpointing=False,
         )
         self._mgr = ocp.CheckpointManager(directory, options=options)
+        self._worker: Optional["threading.Thread"] = None
+        self._worker_error: list[BaseException] = []
+        self._snapshot_fn = None
 
-    def save(self, step: int, state: Any, metrics: Optional[Mapping[str, float]] = None):
+    def _snapshot(self, leaves):
+        """Fresh on-device copies of every device-array leaf (one dispatch)."""
         import jax
+        import jax.numpy as jnp
+
+        if self._snapshot_fn is None:
+            # No donation → fresh output buffers (verified: the copies
+            # survive a subsequent donating train step; jnp.copy defeats
+            # jit's identity-output forwarding).
+            self._snapshot_fn = jax.jit(lambda xs: [jnp.copy(x) for x in xs])
+        return self._snapshot_fn(leaves)
+
+    def _join(self) -> None:
+        if self._worker is not None:
+            self._worker.join()
+            self._worker = None
+        if self._worker_error:
+            err, self._worker_error = self._worker_error[0], []
+            raise RuntimeError("background checkpoint save failed") from err
+
+    def save(
+        self,
+        step: int,
+        state: Any,
+        metrics: Optional[Mapping[str, float]] = None,
+        blocking: bool = False,
+    ):
+        import jax
+        import threading
 
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
-        # Materialize on host first: trainers jit with donate_argnums=(0,), so
-        # the caller's next step invalidates these buffers; device_get is also
-        # the only reliable D2H sync over the tunnel (see CLAUDE.md timing note).
-        state = jax.device_get(state)
-        self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics or None)
+        self._join()  # at most one save in flight; surface prior errors
+
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        is_dev = [isinstance(x, jax.Array) for x in leaves]
+        dev_leaves = [x for x, d in zip(leaves, is_dev) if d]
+        try:
+            snap = self._snapshot(dev_leaves) if dev_leaves else []
+        except Exception:
+            # e.g. no HBM headroom for the copy — fall back to a blocking
+            # host pull of the original (still-valid, pre-next-step) buffers.
+            snap = dev_leaves
+            blocking = True
+        for leaf in snap:  # pipeline the D2H copies (latency, not serial RTs)
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+
+        def commit():
+            it = iter(jax.device_get(snap))
+            host = [next(it) if d else x for x, d in zip(leaves, is_dev)]
+            tree = jax.tree_util.tree_unflatten(treedef, host)
+            self._mgr.save(
+                step, args=ocp.args.StandardSave(tree), metrics=metrics or None
+            )
+
+        if blocking:
+            commit()
+            return
+        self._worker_error = []
+
+        def run():
+            try:
+                commit()
+            except BaseException as e:  # surfaced on the next save()/wait()
+                self._worker_error.append(e)
+
+        self._worker = threading.Thread(
+            target=run, name=f"ckpt-save-{step}", daemon=True
+        )
+        self._worker.start()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()
@@ -75,9 +151,11 @@ class Checkpointer:
         return self._mgr.best_step()
 
     def wait(self) -> None:
+        self._join()
         self._mgr.wait_until_finished()
 
     def close(self) -> None:
+        self._join()
         self._mgr.close()
 
 

@@ -29,11 +29,15 @@ def get_logger(name: str = "syncfusion_tpu") -> logging.Logger:
         logger.addHandler(handler)
         logger.setLevel(os.environ.get("SYNCFUSION_LOGLEVEL", "INFO"))
     # Only process 0 prints in multi-host runs (rank_zero semantics of
-    # reference main/utils.py:31-49).
+    # reference main/utils.py:31-49).  Read the distributed runtime state
+    # directly instead of jax.process_index(): the latter force-initializes
+    # the backend, which costs ~19 s of TPU tunnel setup for CLIs that never
+    # touch the device.  Multi-host runs must call jax.distributed.initialize
+    # first, which populates this state; otherwise the process is rank 0.
     try:
-        import jax
+        from jax._src import distributed
 
-        if jax.process_index() != 0:
+        if (distributed.global_state.process_id or 0) != 0:
             logger.setLevel(logging.ERROR)
     except Exception:
         pass

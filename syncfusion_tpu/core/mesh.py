@@ -104,11 +104,15 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """
 
     def _put(x):
-        x = np.asarray(x)
+        # Keep already-device-resident leaves (e.g. async CLAP embeddings) on
+        # device: np.asarray would block on a D2H pull — ~100 ms over the chip
+        # tunnel — only for device_put to push the bytes straight back.
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         sharding = NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)
-        return jax.make_array_from_process_local_data(sharding, x)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
     return jax.tree_util.tree_map(_put, batch)
 

@@ -118,18 +118,22 @@ class ClapEmbedder:
         )
 
     # -------------------------------------------------- reference API
-    def embed_audio(self, wav: np.ndarray) -> np.ndarray:
-        """(B, L, 1) or (B, L) waveform → (B, 1, 512).
+    def embed_audio(self, wav: np.ndarray) -> jax.Array:
+        """(B, L, 1) or (B, L) waveform → (B, 1, 512) device array.
 
         Applies the int16 round-trip the reference depends on for parity
-        (main/utils.py:22-28)."""
+        (main/utils.py:22-28).  The result is returned WITHOUT forcing it to
+        host: the jitted forward dispatches asynchronously, so the training
+        prefetch thread is not throughput-bound on a blocking D2H round trip
+        (~100 ms each over the chip tunnel); callers that need numpy can
+        ``np.asarray`` the result."""
         wav = np.asarray(wav)
         if wav.ndim == 3:
             wav = wav[:, :, 0]
         wav = int16_round_trip(wav.astype(np.float32))
         wav = prepare_audio(wav, CLAP_SAMPLES)
         emb = self._audio_fn(self.variables, jnp.asarray(wav))
-        return np.asarray(emb)[:, None, :]
+        return emb[:, None, :]
 
     def embed_text(self, texts: list[str]) -> np.ndarray:
         toks = tokenize(texts, tokenizer_path=self.tokenizer_path)

@@ -22,11 +22,27 @@ jax.config.update("jax_enable_x64", False)
 
 # Suite wall time is dominated by XLA CPU compiles of per-test model
 # variants; the persistent cache makes re-runs of an unchanged suite fast.
+# Threshold 0: cache EVERY compile — the suite is thousands of sub-2 s
+# compiles, so the default threshold left cold runs at ~82 min while warm
+# in-process reruns took ~14; a fully populated cache (seedable from
+# data/jax_cache_cpu_seed.tar.gz if present) closes that gap.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+_seed_tar = os.path.join(os.path.dirname(__file__), "..", "data",
+                         "jax_cache_cpu_seed.tar.gz")
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+if os.path.exists(_seed_tar) and not os.path.exists(
+    os.path.join(_cache_dir, ".seeded")
+):
+    import subprocess
+
+    os.makedirs(_cache_dir, exist_ok=True)
+    subprocess.run(["tar", "-zxf", _seed_tar, "-C", _cache_dir], check=False)
+    open(os.path.join(_cache_dir, ".seeded"), "w").close()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
