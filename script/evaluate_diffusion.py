@@ -60,15 +60,22 @@ def load_params(model: SyncFusionDiffusion, model_path: str | None, length: int,
         log.info("converting torch checkpoint %s (compat model)", model_path)
         return load_diffusion_ckpt(model_path, ucfg, ecfg)
 
-    params = model.init(jax.random.key(0), length, batch=1)
     if not model_path:
         log.warning("no model_path — using randomly initialized model")
-        return params
+        return model.init(jax.random.key(0), length, batch=1)
     from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
 
-    state_tpl = {"params": params}
-    restored = Checkpointer(CheckpointConfig(directory=Path(model_path))).restore(state_tpl)
-    return restored["params"]
+    # Template-free restore: train checkpoints hold the full TrainState
+    # (step/params/opt_state) — a partial {"params"} template raises a
+    # structure mismatch.  Prefer the best-by-monitored-metric step (the
+    # reference evaluates the best val checkpoint, README.md:168-217).
+    ck = Checkpointer(CheckpointConfig(directory=Path(model_path)))
+    step = ck.best_step()
+    if step is None:
+        step = ck.latest_step()
+    tree = ck.restore_tree(step)
+    log.info("restored step %s from %s", step, model_path)
+    return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
 
 
 def main(argv=None) -> None:

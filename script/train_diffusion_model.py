@@ -43,7 +43,16 @@ log = get_logger("train_diffusion")
 
 
 def make_batches(dataset_fn, cfg, seed, embedder, length):
-    """Dataset stream → model batches with CLAP embedding of the cond chunk."""
+    """Dataset stream → model batches with CLAP embedding of the cond chunk.
+
+    Wire formats (dequantized on device, diffusion_trainer._loss): onsets
+    always ship uint8 (binary track — lossless, 4x fewer bytes); the wav
+    ships int16 when ``datamodule.wire_int16=true`` (-90 dBFS quantization,
+    exact for 16-bit-PCM sources; H2D is the step bottleneck over the chip
+    tunnel)."""
+    from syncfusion_tpu.ops.quantize import float32_to_int16
+
+    wire_int16 = bool(cfg.datamodule.get("wire_int16", False))
     stream = batched(
         dataset_fn(seed=seed),
         batch_size=cfg.datamodule.batch_size,
@@ -53,8 +62,8 @@ def make_batches(dataset_fn, cfg, seed, embedder, length):
     )
     for b in stream:
         yield {
-            "wav": b["wav"],
-            "onsets": b["onsets"],
+            "wav": float32_to_int16(b["wav"]) if wire_int16 else b["wav"],
+            "onsets": b["onsets"].astype(np.uint8),
             "embedding": embedder.embed_audio(b["cond"]),
         }
 
@@ -144,7 +153,11 @@ def main(argv=None) -> None:
 
     train_fn = instantiate(cfg.datamodule.train_dataset)
     val_fn = instantiate(cfg.datamodule.val_dataset)
-    rng = jax.random.key(cfg.seed + 1)
+    # Host-side seed chain: the trainer builds the PRNG key inside the jitted
+    # step (DiffusionTrainer._ensure_key), so the loop issues ZERO eager
+    # device ops — an eager jax.random.split costs ~100 ms/step over the
+    # chip tunnel.
+    seed_rng = np.random.default_rng(cfg.seed + 1)
 
     step = int(state.step)
     log_every = int(cfg.trainer.get("log_every_n_steps", 10))
@@ -160,7 +173,7 @@ def main(argv=None) -> None:
             mesh=mesh,
         )
         for batch in stream:
-            rng, sub = jax.random.split(rng)
+            sub = np.uint32(seed_rng.integers(2**32))
             state, metrics = trainer.train_step(state, batch, sub)
             step += 1
             if step == 1:
@@ -180,13 +193,17 @@ def main(argv=None) -> None:
                                  length=cfg.length),
                     cfg.trainer.get("val_batches", 16),
                 ):
-                    m = trainer.eval_step(state, shard_batch(vb, mesh), jax.random.key(0))
+                    m = trainer.eval_step(state, shard_batch(vb, mesh), np.uint32(0))
                     val_losses.append(float(m["valid_loss"]))
                 valid_loss = float(np.mean(val_losses)) if val_losses else float("nan")
                 metrics_logger.log({"valid_loss": valid_loss}, step=step)
-                ckpt.save(step, state, {"valid_loss": valid_loss})
                 log.info("step %d valid_loss %.4f", step, valid_loss)
+                # Sample BEFORE dispatching the checkpoint save: device→host
+                # transfers are FIFO over the tunnel, so the small sample pull
+                # must not queue behind the multi-GB async state drain — the
+                # drain instead overlaps the next 500 training steps.
                 _log_samples(cfg, model, state, embedder, metrics_logger, step)
+                ckpt.save(step, state, {"valid_loss": valid_loss})
             if step >= max_steps:
                 ckpt.wait()
                 return

@@ -67,8 +67,11 @@ def make_dataset(cfg, split: str, augment_override=None) -> GreatestHitsDataset:
         root_dir=d.root_dir,
         split_file_path=d[f"{split}_split_file_path"],
         chunk_length_in_seconds=d.get("chunk_length_in_seconds", 2.0),
+        # uint8 wire format: 4x less H2D per clip batch; the trainer
+        # normalizes on device (OnsetTrainer._prep_frames).
         frames_transforms=FrameTransform(
-            augment=augment, size=size, resize_to=round(size * 128 / 112)
+            augment=augment, size=size, resize_to=round(size * 128 / 112),
+            wire_uint8=True,
         ),
         data_to_use=d.get(f"{split}_data_to_use", 1.0),
     )
@@ -182,15 +185,25 @@ def main(argv=None) -> None:
     val_ds = make_dataset(cfg, "val", augment_override=False)
     train_ds.print()
     step = 0
+    from syncfusion_tpu.data.prefetch import device_prefetch
+
     for epoch in range(cfg.trainer.get("max_epochs", 100)):
-        for batch in loader(train_ds, cfg.data.batch_size, shuffle=True,
-                            drop_last=True, num_workers=cfg.data.num_workers,
-                            seed=epoch):
-            b = shard_batch({"frames": batch["frames"], "label": batch["label"]}, mesh)
+        # Prefetch overlaps host video decode + the (uint8) H2D upload with
+        # the running step; labels ride along on device and are pulled back
+        # (a few KB) only at log intervals.
+        stream = device_prefetch(
+            loader(train_ds, cfg.data.batch_size, shuffle=True,
+                   drop_last=True, num_workers=cfg.data.num_workers,
+                   seed=epoch),
+            mesh=mesh,
+            transform=lambda b: {"frames": b["frames"], "label": b["label"]},
+        )
+        for b in stream:
             state, metrics, logits = trainer.train_step(state, b)
             step += 1
             if step % cfg.trainer.get("log_every_n_steps", 10) == 0:
-                host_metrics = onset_metrics(np.asarray(logits), batch["label"])
+                host_metrics = onset_metrics(np.asarray(logits),
+                                             np.asarray(b["label"]))
                 host_metrics["loss/train"] = float(metrics["loss/train"])
                 metrics_logger.log(host_metrics, step=step)
         if (epoch + 1) % cfg.trainer.get("check_val_every_n_epoch", 5) == 0:

@@ -107,14 +107,16 @@ def main(argv=None) -> None:
     train_ds.print()
 
     to_spec = jax.jit(lambda w: wav_to_spec(w)[..., None])
-    rng = jax.random.key(cfg.get("seed", 0))
+    # Host-side seed chain — the trainer builds keys inside the jitted step
+    # (no eager jax.random.split round trips; see diffusion_trainer.ensure_key).
+    seed_rng = np.random.default_rng(cfg.get("seed", 0))
     step = 0
     for epoch in range(cfg.trainer.get("max_epochs", 100) if "trainer" in cfg else 100):
         aug_rng = np.random.default_rng(epoch)
         p_aug = d.get("p_audio_aug", 0.5)
         for batch in baseline_loader(train_ds, d.batch_size, shuffle=True,
                                      drop_last=True, seed=epoch):
-            rng, sub = jax.random.split(rng)
+            sub = np.uint32(seed_rng.integers(2**32))
             if p_aug > 0:  # reference train-time wav augment (NormalizeAudio+PitchShift)
                 sr = d.get("sample_rate", 22050)
                 batch["image"] = np.stack([

@@ -141,10 +141,11 @@ def main(argv=None) -> None:
     model = SyncFusionDiffusion.from_config(cfg.model, dtype=jnp.bfloat16)
     params = model.init(jax.random.key(0), LENGTH, batch=1)
     if args.diffusion_ckpt:
-        tpl = {"params": params}
-        params = Checkpointer(
-            CheckpointConfig(directory=args.diffusion_ckpt)
-        ).restore(tpl)["params"]
+        # Template-free: train checkpoints hold the full TrainState (a
+        # partial {"params"} template raises a structure mismatch).
+        ck = Checkpointer(CheckpointConfig(directory=args.diffusion_ckpt))
+        tree = ck.restore_tree(ck.best_step() or ck.latest_step())
+        params = tree["params"] if "params" in tree else tree
     else:
         log.warning("no diffusion checkpoint — output is noise-shaped")
 

@@ -144,6 +144,19 @@ class Checkpointer:
             raise FileNotFoundError(f"no checkpoint in {self.config.directory}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_tree(self, step: Optional[int] = None) -> Any:
+        """Restore the raw saved pytree WITHOUT a template (numpy leaves).
+
+        For consumers that need a subtree of a checkpoint whose full
+        structure they can't reconstruct — e.g. evaluation loading
+        ``params`` out of a train checkpoint that also holds the optimizer
+        state (StandardRestore with a partial template raises a structure
+        mismatch)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.config.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

@@ -150,6 +150,13 @@ class FrameTransform:
     contrast: float = 0.2
     saturation: float = 0.4
     hue: float = 0.1
+    # uint8 wire format: skip the host-side Normalize and emit uint8 pixels —
+    # 4x less host→device traffic for a (B, T, 112, 112, 3) clip batch (72 MB
+    # → 18 MB at bs 16); the trainer then normalizes ON DEVICE inside the
+    # jitted step (OnsetTrainer._prep_frames), keyed on the input dtype.
+    # Quantization error is ≤ 0.5/255 per pixel — below the source video's
+    # own 8-bit precision.
+    wire_uint8: bool = False
 
     def __call__(self, frames: np.ndarray, rng: Optional[np.random.Generator] = None):
         if self.augment:
@@ -161,4 +168,6 @@ class FrameTransform:
             )
         else:
             frames = resize(frames, (self.size, self.size))
+        if self.wire_uint8:
+            return (frames * 255.0 + 0.5).astype(np.uint8)
         return normalize(frames)

@@ -26,7 +26,7 @@ from syncfusion_tpu.models.clap.htsat import (
     reshape_mel_to_image,
 )
 from syncfusion_tpu.models.clap.roberta import RobertaModel, tokenize
-from syncfusion_tpu.ops.quantize import int16_round_trip
+from syncfusion_tpu.ops.quantize import float32_to_int16, int16_to_float32
 
 
 class Projection(nn.Module):
@@ -108,9 +108,17 @@ class ClapEmbedder:
                     jnp.ones((1, 8), jnp.int32),
                 )
             )()
-        self._audio_fn = jax.jit(
-            lambda v, w: self.model.apply(v, w, method=ClapModel.encode_audio)
-        )
+        def _audio(v, w):
+            # int16 wire format: the host ships quantized samples (half the
+            # H2D bytes over a ~25 MB/s tunnel) and the dequantize runs on
+            # device.  Numerically IDENTICAL to the f32 path: the reference
+            # mandates int16_round_trip before CLAP anyway (main/utils.py:
+            # 22-28), and we just split it across the wire.
+            if w.dtype == jnp.int16:
+                w = int16_to_float32(w)
+            return self.model.apply(v, w, method=ClapModel.encode_audio)
+
+        self._audio_fn = jax.jit(_audio)
         self._text_fn = jax.jit(
             lambda v, ids, mask: self.model.apply(
                 v, ids, mask, method=ClapModel.encode_text
@@ -130,7 +138,7 @@ class ClapEmbedder:
         wav = np.asarray(wav)
         if wav.ndim == 3:
             wav = wav[:, :, 0]
-        wav = int16_round_trip(wav.astype(np.float32))
+        wav = float32_to_int16(wav.astype(np.float32))  # dequantized on device
         wav = prepare_audio(wav, CLAP_SAMPLES)
         emb = self._audio_fn(self.variables, jnp.asarray(wav))
         return emb[:, None, :]

@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
@@ -168,11 +169,13 @@ class ProgressiveDistiller:
         teacher = params
         n = cfg.start_steps
 
+        from syncfusion_tpu.train.diffusion_trainer import ensure_key
+
         @jax.jit
         def train_step(student, opt_state, teacher, batch, key, n_steps):
             def f(p):
                 return self.loss(
-                    p, teacher, key, batch["wav"], batch["onsets"],
+                    p, teacher, ensure_key(key), batch["wav"], batch["onsets"],
                     batch.get("embedding"), n_steps,
                 )
 
@@ -180,16 +183,23 @@ class ProgressiveDistiller:
             updates, opt_state = self.tx.update(grads, opt_state, student)
             return optax.apply_updates(student, updates), opt_state, loss
 
+        # One dispatch per round / per step: eager per-leaf tree copies and
+        # eager key splits cost ~100 ms/op over the chip tunnel.
+        copy_tree = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+        init_opt = jax.jit(self.tx.init)
+        seed_rng = np.random.default_rng(
+            np.asarray(jax.random.key_data(key)).ravel()
+        )
+
         while n > cfg.final_steps:
             n_half = n // 2
-            student = jax.tree.map(jnp.copy, teacher)
-            opt_state = self.tx.init(student)
+            student = copy_tree(teacher)
+            opt_state = init_opt(student)
             for step in range(cfg.steps_per_round):
-                key, k1, k2 = jax.random.split(key, 3)
                 batch = batch_fn(step)
                 student, opt_state, loss = train_step(
-                    student, opt_state, teacher, batch, k1,
-                    jnp.asarray(n_half),
+                    student, opt_state, teacher, batch,
+                    np.uint32(seed_rng.integers(2**32)), np.int32(n_half),
                 )
                 if log_fn and (step % 100 == 0 or step == cfg.steps_per_round - 1):
                     log_fn({"round_steps": n_half, "step": step,

@@ -145,10 +145,25 @@ class OnsetTrainer:
             opt_state=self.tx.init(params),
         )
 
+    @staticmethod
+    def _prep_frames(frames: jax.Array) -> jax.Array:
+        """uint8 wire format → ImageNet-normalized float ON DEVICE.
+
+        Counterpart of ``FrameTransform(wire_uint8=True)``: the host ships
+        raw uint8 pixels (4x less H2D traffic) and the normalize runs inside
+        the jitted step, where XLA fuses it into the first conv's input.
+        Float inputs are already normalized host-side and pass through."""
+        if frames.dtype != jnp.uint8:
+            return frames
+        from syncfusion_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        f = frames.astype(jnp.float32) / 255.0
+        return (f - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
     def _loss(self, params, batch_stats, batch):
         logits, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["frames"],
+            self._prep_frames(batch["frames"]),
             train=True,
             mutable=["batch_stats"],
         )
@@ -169,6 +184,6 @@ class OnsetTrainer:
     def _forward(self, state: OnsetTrainState, frames: jax.Array) -> jax.Array:
         return self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            frames,
+            self._prep_frames(frames),
             train=False,
         )

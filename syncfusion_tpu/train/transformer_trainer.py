@@ -72,8 +72,10 @@ class TransformerTrainer:
 
     def _train_step(self, state: GPTTrainState, frozen: dict, batch: dict,
                     key: jax.Array):
+        from syncfusion_tpu.train.diffusion_trainer import ensure_key
+
         loss, grads = jax.value_and_grad(self._loss)(
-            state.gpt_params, frozen, batch, key
+            state.gpt_params, frozen, batch, ensure_key(key)
         )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.gpt_params)
         gpt_params = optax.apply_updates(state.gpt_params, updates)

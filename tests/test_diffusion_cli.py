@@ -131,6 +131,51 @@ def test_generate_and_fad_cli_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_restores_train_checkpoint(tmp_path, monkeypatch):
+    """Chained train → eval: the eval driver must load `params` out of a
+    FULL TrainState checkpoint (step/params/opt_state) via the
+    template-free restore path, preferring the best-val step."""
+    import evaluate_diffusion
+    import train_diffusion_model
+
+    shard = tmp_path / "train_shard_1.tar"
+    _make_shard(shard)
+    monkeypatch.setenv("DIR_LOGS", f"/{tmp_path.name}-logs")
+    logs = tmp_path / "logs"
+    train_diffusion_model.main([
+        "exp=train_diffusion_gh",
+        f"logs_dir={logs}",
+        f"datamodule.train_dataset.path={shard}",
+        f"datamodule.val_dataset.path={shard}",
+        "datamodule.batch_size=2",
+        "datamodule.shuffle_size=0",
+        "trainer.accumulate_grad_batches=1",
+        "max_steps=2",
+        "trainer.val_check_interval=2",
+        "trainer.val_batches=1",
+        "callbacks.audio_samples_logger=null",
+        *TINY_OVERRIDES,
+    ])
+    ckpts = sorted((logs / "runs").iterdir())[-1] / "ckpts"
+
+    gen = tmp_path / "gh-gen"
+    evaluate_diffusion.main([
+        "exp=evaluate_gh_gen",
+        f"work_dir={tmp_path}",
+        f"experiment_path={gen}",
+        f"experiment.dataset.path={shard}",
+        "evaluation=null",
+        f"model_path={ckpts}",
+        "sample_rate=8000",
+        f"gen_length={L}",
+        "experiment.num_steps=2",
+        "experiment.batch_size=2",
+        *TINY_MODEL,
+    ])
+    assert len(list(gen.glob("*.wav"))) == 3
+
+
+@pytest.mark.slow
 def test_generate_cli_from_reference_torch_ckpt(tmp_path):
     """model_path=<file>.ckpt routes through the weight-compatible a-unet
     twins + converter (the reference's published-checkpoint eval path)."""

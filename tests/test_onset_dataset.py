@@ -102,3 +102,25 @@ def test_color_jitter_deterministic_with_seed():
     a = color_jitter(x, np.random.default_rng(5), 0.4, 0.2, 0.4, 0.1)
     b = color_jitter(x, np.random.default_rng(5), 0.4, 0.2, 0.4, 0.1)
     np.testing.assert_array_equal(a, b)
+
+
+def test_wire_uint8_matches_f32_path():
+    """uint8 wire format + on-device normalize ≡ host-side Normalize within
+    the 1/255 quantization step (the frames originate from 8-bit video)."""
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.train.onset_trainer import OnsetTrainer
+
+    x = np.random.default_rng(0).random((2, 6, 6, 3)).astype(np.float32)
+    t_f32 = FrameTransform(augment=False, size=6)
+    t_u8 = FrameTransform(augment=False, size=6, wire_uint8=True)
+    ref = t_f32(x)
+    wire = t_u8(x)
+    assert wire.dtype == np.uint8
+    dev = np.asarray(OnsetTrainer._prep_frames(jnp.asarray(wire)))
+    # max error: 0.5/255 pixel quantization amplified by 1/std (≥ 1/0.229)
+    assert np.max(np.abs(dev - ref)) < (0.5 / 255.0) / 0.224 + 1e-5
+    # float inputs pass through untouched
+    np.testing.assert_array_equal(
+        np.asarray(OnsetTrainer._prep_frames(jnp.asarray(ref))), ref
+    )
