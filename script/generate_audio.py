@@ -29,7 +29,7 @@ import numpy as np
 import yaml
 
 from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
-from syncfusion_tpu.core.config import Config
+from syncfusion_tpu.core.config import Config, yaml_load
 from syncfusion_tpu.core.logging import get_logger
 from syncfusion_tpu.data.baseline_dataset import (
     CondGreatestHitsWaveCondOnImage,
@@ -68,7 +68,7 @@ def main(argv=None) -> None:
     ap.add_argument("--style_steps", type=int, default=300)
     args = ap.parse_args(argv)
 
-    cfg = Config.wrap(yaml.safe_load(open(args.config)))
+    cfg = Config.wrap(yaml_load(open(args.config)))
     model = build_model(cfg)
     params = model.init(jax.random.key(0), n_frames=cfg.get("n_frames", 60))
 

@@ -22,7 +22,7 @@ import numpy as np
 import yaml
 
 from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
-from syncfusion_tpu.core.config import Config, merge
+from syncfusion_tpu.core.config import Config, merge, yaml_load
 from syncfusion_tpu.core.logging import MetricLogger, get_logger
 from syncfusion_tpu.data.baseline_dataset import GreatestHitsWaveDataset, baseline_loader
 from syncfusion_tpu.models.vqgan.model import VQModel, wav_to_spec
@@ -54,7 +54,7 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
     cfg = Config()
     for p in args.config:
-        cfg = merge(cfg, Config.wrap(yaml.safe_load(open(p))))
+        cfg = merge(cfg, Config.wrap(yaml_load(open(p))))
 
     m = cfg.model
     loss_cfg = m.get("lossconfig", Config())

@@ -28,7 +28,7 @@ import numpy as np
 import yaml
 
 from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
-from syncfusion_tpu.core.config import Config, merge, to_plain
+from syncfusion_tpu.core.config import Config, merge, to_plain, yaml_load
 from syncfusion_tpu.core.logging import MetricLogger, get_logger
 from syncfusion_tpu.core.mesh import mesh_for_batch, shard_batch
 from syncfusion_tpu.data.onset_dataset import GreatestHitsDataset, loader
@@ -55,7 +55,7 @@ def load_cfgs(paths) -> Config:
     cfg = Config()
     for p in paths:
         with open(p) as f:
-            cfg = merge(cfg, Config.wrap(yaml.safe_load(f)))
+            cfg = merge(cfg, Config.wrap(yaml_load(f)))
     return cfg
 
 

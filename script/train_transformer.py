@@ -25,7 +25,7 @@ import yaml
 from syncfusion_tpu.ops.augment import random_audio_augment
 
 from syncfusion_tpu.core.checkpoint import Checkpointer, CheckpointConfig
-from syncfusion_tpu.core.config import Config, merge
+from syncfusion_tpu.core.config import Config, merge, yaml_load
 from syncfusion_tpu.core.logging import MetricLogger, get_logger
 from syncfusion_tpu.data.baseline_dataset import (
     CondGreatestHitsWaveCondOnImage,
@@ -62,7 +62,7 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
     cfg = Config()
     for p in args.config:
-        cfg = merge(cfg, Config.wrap(yaml.safe_load(open(p))))
+        cfg = merge(cfg, Config.wrap(yaml_load(open(p))))
 
     model = build_model(cfg)
     params = model.init(jax.random.key(cfg.get("seed", 0)),
@@ -153,7 +153,7 @@ def main(argv=None) -> None:
                     write_attention_panel, write_media_wavs, write_spec_panel,
                 )
 
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.key(int(seed_rng.integers(2**32)))
                 lp = {"vq": frozen["vq"], "video": frozen["video"],
                       "gpt": state.gpt_params}
                 media = model.log_images(lp, jb["spec"], jb["cond_spec"],

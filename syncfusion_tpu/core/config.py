@@ -30,7 +30,8 @@ from typing import Any, Iterable, Mapping, MutableMapping, Optional
 
 import yaml
 
-__all__ = ["Config", "load_config", "instantiate", "merge", "resolve", "to_plain"]
+__all__ = ["Config", "load_config", "instantiate", "merge", "resolve",
+           "to_plain", "yaml_load"]
 
 
 def to_plain(obj: Any) -> Any:
@@ -86,6 +87,15 @@ _Loader.add_implicit_resolver(
 
 def _yaml_load(text: str) -> Any:
     return yaml.load(text, Loader=_Loader)
+
+
+def yaml_load(stream) -> Any:
+    """Project-dialect YAML load (accepts ``1e-8``-style floats).
+
+    ALWAYS use this instead of ``yaml.safe_load`` for config files: plain
+    YAML 1.1 reads exponent-without-dot numerals as STRINGS, which then
+    explode deep inside jitted optimizers (``eps`` as ``'1e-8'``)."""
+    return yaml.load(stream, Loader=_Loader)
 
 
 def _load_yaml(path: Path) -> Config:

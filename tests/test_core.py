@@ -108,3 +108,34 @@ def test_rng_stream_determinism():
     assert not jnp.array_equal(
         jax.random.key_data(k1["noise"]), jax.random.key_data(k1["time"])
     )
+
+
+def test_repo_configs_parse_numbers_as_floats():
+    """Every cfg/ and exp/ yaml must load via the project loader with NO
+    numeric-looking strings left behind (pyyaml reads `1e-8` as a STRING,
+    which later explodes inside jitted optimizers — seen live: onset
+    trainer abort on eps='1e-8')."""
+    import re
+    from pathlib import Path
+
+    from syncfusion_tpu.core.config import yaml_load
+
+    num = re.compile(r"^[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)$")
+    offenders = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}.{k}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{path}[{i}]")
+        elif isinstance(node, str) and num.match(node):
+            offenders.append(f"{path} = {node!r}")
+
+    root = Path(__file__).resolve().parents[1]
+    files = list((root / "cfg").rglob("*.yaml")) + list((root / "exp").rglob("*.yaml"))
+    assert files
+    for f in files:
+        walk(yaml_load(open(f)) or {}, str(f.relative_to(root)))
+    assert not offenders, offenders
