@@ -93,8 +93,17 @@ def main(argv=None) -> None:
         is_torch_ckpt = bool(
             model_path and Path(model_path).suffix in (".ckpt", ".pt", ".pth")
         )
+        # precision=bf16 runs the sampler in bfloat16 compute (~2x on the
+        # MXU; bench.py serving default). f32 remains the default — it is
+        # the reference's eval numerics.
+        import jax.numpy as jnp
+
+        dtype = (
+            jnp.bfloat16 if str(cfg.get("precision", 32)) in ("bf16", "bfloat16")
+            else jnp.float32
+        )
         model = SyncFusionDiffusion.from_config(
-            cfg.model, compat=True if is_torch_ckpt else None
+            cfg.model, dtype=dtype, compat=True if is_torch_ckpt else None
         )
         embedder = build_embedder(cfg.model)
         params = load_params(model, model_path, cfg.gen_length, cfg.model)

@@ -1,6 +1,7 @@
-# usage: sh script/generate_audio_gh.sh TRANSFORMER_CKPT VQ_CKPT [MELGAN_CKPT]
-tck=${1:?transformer ckpt}; vck=${2:?vq ckpt}; mck=${3:-}
-if [ $# -ge 3 ]; then shift 3; else shift 2; fi
+# usage: sh script/generate_audio_gh.sh TRANSFORMER_CKPT VQ_CKPT [MELGAN_CKPT] [flags...]
+tck=${1:?transformer ckpt}; vck=${2:?vq ckpt}; mck=
+# the third positional is the optional melgan ckpt ONLY if it isn't a flag
+if [ $# -ge 3 ] && [ "${3#--}" = "$3" ]; then mck=$3; shift 3; else shift 2; fi
 python script/generate_audio.py --gh_testset \
   -c cfg/condfoleygen/greatesthit_transformer.yaml \
   --transformer_ckpt_path "$tck" --vq_ckpt "$vck" \

@@ -121,27 +121,37 @@ def main(argv=None) -> None:
                                step=step)
             ckpt.save(step, state, {"val/rec_loss": rec})
             log.info("epoch %d val/rec_loss %.4f", epoch, rec)
-            # recon panel + vocoded wavs (ImageLogger equivalent —
-            # reference image_logger.py:63-80 logs input/rec audio too)
-            from syncfusion_tpu.eval.panels import write_media_wavs, write_spec_panel
-
-            val_spec = to_spec(jnp.asarray(batch["image"]))  # last val batch
-            xrec, _, _ = jax.jit(lambda p, s: trainer.model.apply(p, s))(
-                state.params, val_spec
-            )
-            write_spec_panel(
-                run_dir / "media", "reconstructions",
-                {"inputs": np.asarray(val_spec[0, :, :, 0]),
-                 "reconstructions": np.asarray(xrec[0, :, :, 0])},
-                step=step,
-            )
-            if cfg.get("log_media", True):
-                write_media_wavs(
-                    run_dir / "media", "val",
-                    {"inputs": (np.asarray(val_spec)[..., 0] + 1) / 2,
-                     "reconstructions": (np.clip(np.asarray(xrec), -1, 1)[..., 0] + 1) / 2},
-                    step=step, sample_rate=d.get("sample_rate", 22050),
+            try:
+                # recon panel + vocoded wavs (ImageLogger equivalent —
+                # reference image_logger.py:63-80 logs input/rec audio too).
+                # Media must NEVER kill training: a crash here also aborts
+                # the in-flight async checkpoint drain (seen live when
+                # Griffin-Lim hit a TPU-unsupported complex op).
+                from syncfusion_tpu.eval.panels import (
+                    write_media_wavs,
+                    write_spec_panel,
                 )
+
+                val_spec = to_spec(jnp.asarray(batch["image"]))  # last val batch
+                xrec, _, _ = jax.jit(lambda p, s: trainer.model.apply(p, s))(
+                    state.params, val_spec
+                )
+                write_spec_panel(
+                    run_dir / "media", "reconstructions",
+                    {"inputs": np.asarray(val_spec[0, :, :, 0]),
+                     "reconstructions": np.asarray(xrec[0, :, :, 0])},
+                    step=step,
+                )
+                if cfg.get("log_media", True):
+                    write_media_wavs(
+                        run_dir / "media", "val",
+                        {"inputs": (np.asarray(val_spec)[..., 0] + 1) / 2,
+                         "reconstructions":
+                             (np.clip(np.asarray(xrec), -1, 1)[..., 0] + 1) / 2},
+                        step=step, sample_rate=d.get("sample_rate", 22050),
+                    )
+            except Exception as e:
+                log.warning("media logging failed: %s", e)
     ckpt.wait()
 
 

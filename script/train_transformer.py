@@ -148,31 +148,36 @@ def main(argv=None) -> None:
             if cfg.get("log_media", True):
                 # ImageLogger equivalent (reference image_logger.py:16-230 +
                 # av_cond_transformer.log_images): sample panels, attention
-                # grids, and vocoded sample wavs into run_dir/media.
-                from syncfusion_tpu.eval.panels import (
-                    write_attention_panel, write_media_wavs, write_spec_panel,
-                )
+                # grids, and vocoded sample wavs into run_dir/media.  Media
+                # must never kill training (or the in-flight async ckpt).
+                try:
+                    from syncfusion_tpu.eval.panels import (
+                        write_attention_panel, write_media_wavs, write_spec_panel,
+                    )
 
-                sub = jax.random.key(int(seed_rng.integers(2**32)))
-                lp = {"vq": frozen["vq"], "video": frozen["video"],
-                      "gpt": state.gpt_params}
-                media = model.log_images(lp, jb["spec"], jb["cond_spec"],
-                                         jb["frames"], sub)
-                spec_keys = ("inputs", "reconstructions", "samples_half",
-                             "samples_nopix", "samples_det")
-                write_spec_panel(
-                    run_dir / "media", "val",
-                    {k: np.asarray(media[k][0, :, :, 0]) for k in spec_keys},
-                    step=step,
-                )
-                for k in ("att_half", "att_nopix", "att_det"):
-                    write_attention_panel(run_dir / "media", f"val_{k}",
-                                          np.asarray(media[k]), step=step)
-                write_media_wavs(
-                    run_dir / "media", "val",
-                    {"samples_nopix": (np.asarray(media["samples_nopix"])[..., 0] + 1) / 2},
-                    step=step, sample_rate=d.get("sample_rate", 22050),
-                )
+                    sub = jax.random.key(int(seed_rng.integers(2**32)))
+                    lp = {"vq": frozen["vq"], "video": frozen["video"],
+                          "gpt": state.gpt_params}
+                    media = model.log_images(lp, jb["spec"], jb["cond_spec"],
+                                             jb["frames"], sub)
+                    spec_keys = ("inputs", "reconstructions", "samples_half",
+                                 "samples_nopix", "samples_det")
+                    write_spec_panel(
+                        run_dir / "media", "val",
+                        {k: np.asarray(media[k][0, :, :, 0]) for k in spec_keys},
+                        step=step,
+                    )
+                    for k in ("att_half", "att_nopix", "att_det"):
+                        write_attention_panel(run_dir / "media", f"val_{k}",
+                                              np.asarray(media[k]), step=step)
+                    write_media_wavs(
+                        run_dir / "media", "val",
+                        {"samples_nopix":
+                             (np.asarray(media["samples_nopix"])[..., 0] + 1) / 2},
+                        step=step, sample_rate=d.get("sample_rate", 22050),
+                    )
+                except Exception as e:
+                    log.warning("media logging failed: %s", e)
     ckpt.wait()
 
 

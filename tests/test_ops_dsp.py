@@ -209,3 +209,18 @@ def test_spectral_gate_noise_clip_improves_snr(rng):
         spectral_gate(noisy, noise_clip=jnp.asarray(noise[None][:, : sr // 2]))
     )
     assert snr(out) > snr(noisy) + 3.0
+
+
+def test_griffin_lim_traces_without_complex_dtypes():
+    """The TPU plugin backend lacks complex64 support at runtime (complex
+    exp/broadcast hit UNIMPLEMENTED — crashed the codebook rehearsal's
+    vocoded-wav logging); Griffin-Lim must stay real-arithmetic."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.ops.stft import griffin_lim
+
+    jaxpr = jax.make_jaxpr(
+        lambda m: griffin_lim(m, n_fft=64, hop_length=16, n_iter=2)
+    )(jnp.ones((1, 33, 8)))
+    assert "complex" not in str(jaxpr)
