@@ -17,6 +17,7 @@ import json
 import shutil
 import subprocess
 import sys
+import multiprocessing
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
@@ -144,7 +145,11 @@ def main(argv=None) -> None:
     videos = sorted(Path(args.input_dir).glob(f"*{args.video_suffix}"))
     if args.test:
         videos = videos[:5]
-    with ProcessPoolExecutor(max_workers=args.num_workers) as pool:
+    # spawn, not fork: callers may already be multi-threaded (jax/XLA spin
+    # up thread pools on import) and a forked child inherits locked mutexes —
+    # deadlocked the CLI test inside pytest (fork() of a 20-thread process).
+    ctx = multiprocessing.get_context("spawn")
+    with ProcessPoolExecutor(max_workers=args.num_workers, mp_context=ctx) as pool:
         futures = [
             pool.submit(
                 pipeline, str(v), args.video_suffix, args.audio_sample_rate,

@@ -74,6 +74,8 @@ def make_dataset(cfg, split: str, augment_override=None) -> GreatestHitsDataset:
             wire_uint8=True,
         ),
         data_to_use=d.get(f"{split}_data_to_use", 1.0),
+        # epochs ≥2 skip the JPEG decode hot loop (~0.4 s/item measured)
+        cache_decoded=True,
     )
 
 

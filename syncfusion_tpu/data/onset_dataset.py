@@ -49,11 +49,19 @@ class GreatestHitsDataset:
         metadata_file_suffix: str = ".metadata.json",
         frame_file_suffix: str = ".jpg",
         seed: int = 0,
+        cache_decoded: bool = False,
     ):
         self.root = Path(root_dir)
         self.transform = frames_transforms or FrameTransform(augment=False)
         self.frame_file_suffix = frame_file_suffix
         self.rng = np.random.default_rng(seed)
+        # cache_decoded: keep each chunk's decoded+Resized frames in RAM as
+        # uint8 (~2 MB/chunk at the augment size) so epochs ≥2 skip the JPEG
+        # hot loop entirely — decode+resize measured ~0.4 s/item, i.e. the
+        # whole accelerator step was host-decode-bound without this.  The
+        # uint8 quantization of the cached (pre-crop/jitter) frames is one
+        # part in 255 — the same precision as the JPEG source pixels.
+        self._decoded: Optional[dict[int, np.ndarray]] = {} if cache_decoded else None
 
         samples = Path(split_file_path).read_text().splitlines()
         if data_to_use < 1.0:
@@ -112,7 +120,10 @@ class GreatestHitsDataset:
             )
         return self._frames_cache[frames_path]
 
-    def __getitem__(self, index: int) -> dict:
+    def _resized_frames(self, index: int) -> np.ndarray:
+        """Decoded + Resize-staged frames, (T, H, W, 3) float32 in [0, 1]."""
+        if self._decoded is not None and index in self._decoded:
+            return self._decoded[index].astype(np.float32) / 255.0
         chunk = self.list_chunks[index]
         files = self._frame_files(chunk["frames_path"])
         files = files[chunk["start_frame"] : chunk["end_frame"]]
@@ -122,14 +133,23 @@ class GreatestHitsDataset:
                 for f in files
             ]
         )
-        frames = self.transform(frames, self.rng)
+        frames = self.transform.resize_stage(frames)
+        if self._decoded is not None:
+            self._decoded[index] = (frames * 255.0 + 0.5).astype(np.uint8)
+        return frames
+
+    def __getitem__(self, index: int) -> dict:
+        chunk = self.list_chunks[index]
+        frames = self.transform.finish(self._resized_frames(index), self.rng)
         return {
             "video_name": chunk["video_name"],
             "start_time": chunk["start_time"],
             "end_time": chunk["end_time"],
             "start_frame": chunk["start_frame"],
             "end_frame": chunk["end_frame"],
-            "frames": frames.astype(np.float32),
+            # dtype preserved: uint8 under wire_uint8 (do NOT cast to f32 —
+            # that silently re-quadruples the H2D bytes)
+            "frames": frames,
             "label": chunk["labels"],
             "frame_rate": chunk["frame_rate"],
         }

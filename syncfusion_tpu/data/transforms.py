@@ -158,16 +158,24 @@ class FrameTransform:
     # own 8-bit precision.
     wire_uint8: bool = False
 
-    def __call__(self, frames: np.ndarray, rng: Optional[np.random.Generator] = None):
+    def resize_stage(self, frames: np.ndarray) -> np.ndarray:
+        """Deterministic prefix (Resize) — cacheable across epochs."""
+        if self.augment:
+            return resize(frames, self.resize_to)
+        return resize(frames, (self.size, self.size))
+
+    def finish(self, frames: np.ndarray,
+               rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """Stochastic suffix (RandomCrop/ColorJitter) + output encoding."""
         if self.augment:
             rng = rng if rng is not None else np.random.default_rng()
-            frames = resize(frames, self.resize_to)
             frames = random_crop(frames, self.size, rng)
             frames = color_jitter(
                 frames, rng, self.brightness, self.contrast, self.saturation, self.hue
             )
-        else:
-            frames = resize(frames, (self.size, self.size))
         if self.wire_uint8:
             return (frames * 255.0 + 0.5).astype(np.uint8)
         return normalize(frames)
+
+    def __call__(self, frames: np.ndarray, rng: Optional[np.random.Generator] = None):
+        return self.finish(self.resize_stage(frames), rng)
