@@ -35,13 +35,35 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 _seed_tar = os.path.join(os.path.dirname(__file__), "..", "data",
                          "jax_cache_cpu_seed.tar.gz")
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+
+
+def _host_cpu_flags():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return set(line.split(":", 1)[1].split())
+    except OSError:
+        pass
+    return None
+
+
 if os.path.exists(_seed_tar) and not os.path.exists(
     os.path.join(_cache_dir, ".seeded")
 ):
-    import subprocess
+    # Only seed when this host supports every CPU feature the cache was
+    # compiled with — XLA's persistent-cache key does NOT fully encode the
+    # target ISA, and loading AOT blobs compiled for a wider feature set
+    # can SIGILL (the loader itself warns about exactly this).
+    _flags_file = _seed_tar.replace(".tar.gz", ".cpuflags")
+    _want = set(open(_flags_file).read().split()) if os.path.exists(_flags_file) else None
+    _have = _host_cpu_flags()
+    if _want is not None and _have is not None and _want <= _have:
+        import subprocess
 
+        os.makedirs(_cache_dir, exist_ok=True)
+        subprocess.run(["tar", "-zxf", _seed_tar, "-C", _cache_dir], check=False)
     os.makedirs(_cache_dir, exist_ok=True)
-    subprocess.run(["tar", "-zxf", _seed_tar, "-C", _cache_dir], check=False)
     open(os.path.join(_cache_dir, ".seeded"), "w").close()
 
 import numpy as np  # noqa: E402
