@@ -49,11 +49,30 @@ class Checkpointer:
         self.config = config
         directory = Path(config.directory).absolute()
         directory.mkdir(parents=True, exist_ok=True)
+        # Lightning retention semantics (exp/train_diffusion_gh.yaml:50-58):
+        # keep the best-k BY METRIC *and always the latest* (save_last).
+        # orbax's max_to_keep+best_fn alone prunes purely by metric — seen
+        # live: a 15-epoch onset run ended with its FINAL checkpoint
+        # deleted because two earlier ones had better val loss.
+        from orbax.checkpoint.checkpoint_managers import preservation_policy as _pp
+
+        policies = []
+        if config.save_top_k:
+            policies.append(_pp.BestN(
+                get_metric_fn=lambda m, _mon=config.monitor: m[_mon],
+                reverse=(config.mode == "min"),
+                n=config.save_top_k,
+            ))
+        if config.save_last:
+            policies.append(_pp.LatestN(n=1))
+        if config.keep_every_n_steps:
+            policies.append(_pp.EveryNSteps(config.keep_every_n_steps))
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=config.save_top_k + (1 if config.save_last else 0),
+            preservation_policy=(
+                _pp.AnyPreservationPolicy(policies) if policies else None
+            ),
             best_fn=(lambda m: m[config.monitor]) if config.save_top_k else None,
             best_mode=config.mode,
-            keep_period=config.keep_every_n_steps,
             create=True,
             # Synchronous orbax commits: orbax's own async thread raced with
             # donated device buffers over the TPU tunnel (observed: composite

@@ -31,11 +31,14 @@ def test_best_k_tracking(tmp_path):
         directory=tmp_path / "ck", monitor="valid_loss", save_top_k=1,
         save_last=True,
     ))
-    for step, loss in [(1, 0.9), (2, 0.3), (3, 0.7)]:
+    for step, loss in [(1, 0.9), (2, 0.3), (3, 0.7), (4, 0.8)]:
         ckpt.save(step, _state(float(step)), {"valid_loss": loss})
     ckpt.wait()
     assert ckpt.best_step() == 2
-    assert ckpt.latest_step() == 3
+    assert ckpt.latest_step() == 4
+    # Lightning retention: best-1 AND always the last — NOT the best two
+    # by metric (which would have pruned the final checkpoint here).
+    assert sorted(ckpt._mgr.all_steps()) == [2, 4]
     best = ckpt.restore(_state(0.0), step=ckpt.best_step())
     assert int(best["step"]) == 2
     ckpt.close()
