@@ -93,7 +93,18 @@ def main(argv=None) -> None:
     if not cfg.model.get("embedder_checkpoint"):
         log.warning("no CLAP checkpoint — embedder is zero/random-weight")
 
-    mesh = mesh_for_batch(cfg.datamodule.batch_size)
+    # trainer.model_parallel=N carves an N-wide `model` axis out of the
+    # device pool (data gets the rest); trainer.fsdp=true additionally shards
+    # params/grads/Adam state over it (core.mesh.fsdp_param_specs — the
+    # TPU-native ZeRO-3).  Default stays pure DP, the production sharding for
+    # models that fit one chip.
+    tp = int(cfg.trainer.get("model_parallel", 1))
+    if tp > 1:
+        from syncfusion_tpu.core.mesh import MeshSpec, create_mesh
+
+        mesh = create_mesh(MeshSpec(data=-1, model=tp))
+    else:
+        mesh = mesh_for_batch(cfg.datamodule.batch_size)
     trainer = DiffusionTrainer(
         model,
         OptimizerConfig(
@@ -104,6 +115,7 @@ def main(argv=None) -> None:
         ),
         mesh=mesh,
         embedding_mask_proba=cfg.get("embedding_mask_proba", 0.0),
+        fsdp=bool(cfg.trainer.get("fsdp", False)),
     )
     params = model.init(jax.random.key(cfg.seed), cfg.length, batch=1)
     state = trainer.create_state(params)

@@ -121,3 +121,45 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     """Replicate a parameter/opt-state pytree across the whole mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def fsdp_param_specs(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
+    """PartitionSpecs sharding each large parameter over ``model``.
+
+    The FSDP/tensor-parallel rule (GSPMD handles both from the same
+    annotation): for every leaf of at least ``min_size`` elements, shard the
+    last dimension divisible by the ``model`` axis size — conv kernels
+    ``(W, Cin, Cout)`` and dense kernels ``(In, Out)`` split over output
+    channels (Megatron column-parallel), everything smaller stays
+    replicated.  With activations left batch-sharded, XLA lowers this to
+    ZeRO-3 semantics: params/grads/opt-state live sharded in HBM (1/tp the
+    memory) and are all-gathered over ICI only around their use.  This is
+    the TPU-native counterpart of the reference's DDP+ZeRO knobs — no
+    explicit collective anywhere.
+
+    Works on both concrete arrays and ``ShapeDtypeStruct`` leaves (for AOT
+    compile checks).
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def spec(x) -> P:
+        if tp == 1 or x.size < min_size:
+            return P()
+        for d in reversed(range(x.ndim)):
+            if x.shape[d] % tp == 0 and x.shape[d] >= tp:
+                axes: list = [None] * x.ndim
+                axes[d] = MODEL_AXIS
+                return P(*axes)
+        return P()
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def shard_params(params: Any, mesh: Mesh, specs: Any = None,
+                 min_size: int = 2**14) -> Any:
+    """Place a parameter pytree onto the mesh per ``fsdp_param_specs``."""
+    if specs is None:
+        specs = fsdp_param_specs(params, mesh, min_size=min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

@@ -83,14 +83,56 @@ class DiffusionTrainer:
         opt_cfg: OptimizerConfig | None = None,
         mesh: Optional[Mesh] = None,
         embedding_mask_proba: float = 0.0,
+        fsdp: bool = False,
+        fsdp_min_size: int = 2**14,
     ):
         self.model = model
         self.opt_cfg = opt_cfg or OptimizerConfig()
         self.tx = make_optimizer(self.opt_cfg)
         self.mesh = mesh
         self.embedding_mask_proba = embedding_mask_proba
+        # fsdp: shard params/grads/opt-state over the mesh's `model` axis
+        # (core.mesh.fsdp_param_specs — ZeRO-3/tensor-parallel hybrid under
+        # GSPMD).  State shardings are then carried by the arrays themselves:
+        # jit infers them from the committed inputs and optax.init/update
+        # propagate them to mu/nu, so the step function is identical.
+        self.fsdp = fsdp and mesh is not None and mesh.shape.get("model", 1) > 1
+        self.fsdp_min_size = fsdp_min_size
 
-        if mesh is not None:
+        if self.fsdp:
+            # Shardings depend on the param shapes, which aren't known until
+            # create_state — jit lazily on first call, with EXPLICIT in/out
+            # state shardings read off the committed state (out_shardings
+            # left unspecified can legally be resolved to a single device,
+            # silently dropping the sharded layout after step one).
+            replicated = NamedSharding(mesh, P())
+            batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
+            self._fsdp_train = self._fsdp_eval = None
+
+            def train_step(state, batch, key):
+                if self._fsdp_train is None:
+                    state_sh = jax.tree.map(lambda x: x.sharding, state)
+                    self._fsdp_train = jax.jit(
+                        self._train_step,
+                        in_shardings=(state_sh, batch_sharded, replicated),
+                        out_shardings=(state_sh, replicated),
+                        donate_argnums=(0,),
+                    )
+                return self._fsdp_train(state, batch, key)
+
+            def eval_step(state, batch, key):
+                if self._fsdp_eval is None:
+                    state_sh = jax.tree.map(lambda x: x.sharding, state)
+                    self._fsdp_eval = jax.jit(
+                        self._eval_step,
+                        in_shardings=(state_sh, batch_sharded, replicated),
+                        out_shardings=replicated,
+                    )
+                return self._fsdp_eval(state, batch, key)
+
+            self.train_step = train_step
+            self.eval_step = eval_step
+        elif mesh is not None:
             replicated = NamedSharding(mesh, P())
             batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
             self.train_step = jax.jit(
@@ -110,6 +152,23 @@ class DiffusionTrainer:
 
     # ------------------------------------------------------------------
     def create_state(self, params: Any) -> TrainState:
+        if self.fsdp:
+            from syncfusion_tpu.core.mesh import fsdp_param_specs, shard_params
+
+            params = shard_params(params, self.mesh, min_size=self.fsdp_min_size)
+            # Adam's mu/nu are param-shaped, so the same FSDP rule applied to
+            # the abstract opt state lands the whole optimizer sharded in
+            # HBM; counters and scalars fall through to replicated.
+            abs_opt = jax.eval_shape(self.tx.init, params)
+            opt_sh = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s),
+                fsdp_param_specs(abs_opt, self.mesh, min_size=self.fsdp_min_size),
+            )
+            opt_state = jax.jit(self.tx.init, out_shardings=opt_sh)(params)
+            step = jax.device_put(
+                jnp.zeros((), jnp.int32), NamedSharding(self.mesh, P())
+            )
+            return TrainState(step=step, params=params, opt_state=opt_state)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
