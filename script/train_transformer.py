@@ -77,13 +77,27 @@ def main(argv=None) -> None:
         params["vq"] = vq_state.params
         log.info("loaded frozen VQGAN from %s", args.vq_ckpt)
 
+    # Multi-chip: trainer.model_parallel=N carves a `model` mesh axis;
+    # trainer.fsdp=true shards GPT+frozen params and Adam state over it
+    # (docs/SCALING.md).  Plain multi-device runs get DP over `data`.
+    tcfg = cfg.get("trainer", Config())
+    tp = int(tcfg.get("model_parallel", 1))
+    fsdp = bool(tcfg.get("fsdp", False))
+    mesh = None
+    if tp > 1 or fsdp or len(jax.devices()) > 1:
+        from syncfusion_tpu.core.mesh import MeshSpec, create_mesh, mesh_for_batch
+
+        mesh = (create_mesh(MeshSpec(data=-1, model=tp)) if tp > 1
+                else mesh_for_batch(cfg.data.batch_size))
     trainer = TransformerTrainer(
         model,
         learning_rate=cfg.get("learning_rate", 1e-4),
         weight_decay=cfg.get("weight_decay", 0.01),
+        mesh=mesh,
+        fsdp=fsdp,
     )
     state = trainer.create_state(params)
-    frozen = {"vq": params["vq"], "video": params["video"]}
+    frozen = trainer.place_frozen({"vq": params["vq"], "video": params["video"]})
 
     run_dir = Path(cfg.get("logs_dir", "logs/transformer")) / time.strftime(
         "%Y-%m-%d-%H-%M-%S")

@@ -163,3 +163,20 @@ def shard_params(params: Any, mesh: Mesh, specs: Any = None,
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def fsdp_init_opt(tx, params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
+    """``tx.init`` with FSDP out-shardings.
+
+    Adam's mu/nu are param-shaped, so applying the same FSDP rule to the
+    abstract opt state lands the whole optimizer sharded in HBM; counters
+    and scalars fall through to replicated.  With ``model=1`` every spec is
+    ``P()`` and this degrades to a replicated init — safe for pure-DP
+    meshes.
+    """
+    abs_opt = jax.eval_shape(tx.init, params)
+    opt_sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        fsdp_param_specs(abs_opt, mesh, min_size=min_size),
+    )
+    return jax.jit(tx.init, out_shardings=opt_sh)(params)

@@ -101,37 +101,17 @@ class DiffusionTrainer:
 
         if self.fsdp:
             # Shardings depend on the param shapes, which aren't known until
-            # create_state — jit lazily on first call, with EXPLICIT in/out
-            # state shardings read off the committed state (out_shardings
-            # left unspecified can legally be resolved to a single device,
-            # silently dropping the sharded layout after step one).
-            replicated = NamedSharding(mesh, P())
-            batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
-            self._fsdp_train = self._fsdp_eval = None
+            # create_state — ShardedStep jits lazily on first call with
+            # explicit in/out state shardings read off the committed state.
+            from syncfusion_tpu.train.sharding import ShardedStep
 
-            def train_step(state, batch, key):
-                if self._fsdp_train is None:
-                    state_sh = jax.tree.map(lambda x: x.sharding, state)
-                    self._fsdp_train = jax.jit(
-                        self._train_step,
-                        in_shardings=(state_sh, batch_sharded, replicated),
-                        out_shardings=(state_sh, replicated),
-                        donate_argnums=(0,),
-                    )
-                return self._fsdp_train(state, batch, key)
-
-            def eval_step(state, batch, key):
-                if self._fsdp_eval is None:
-                    state_sh = jax.tree.map(lambda x: x.sharding, state)
-                    self._fsdp_eval = jax.jit(
-                        self._eval_step,
-                        in_shardings=(state_sh, batch_sharded, replicated),
-                        out_shardings=replicated,
-                    )
-                return self._fsdp_eval(state, batch, key)
-
-            self.train_step = train_step
-            self.eval_step = eval_step
+            self.train_step = ShardedStep(
+                self._train_step, mesh, ("carried", "batch", "repl"),
+                out="carry_metrics", donate_carry=True,
+            )
+            self.eval_step = ShardedStep(
+                self._eval_step, mesh, ("carried", "batch", "repl")
+            )
         elif mesh is not None:
             replicated = NamedSharding(mesh, P())
             batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
@@ -153,18 +133,11 @@ class DiffusionTrainer:
     # ------------------------------------------------------------------
     def create_state(self, params: Any) -> TrainState:
         if self.fsdp:
-            from syncfusion_tpu.core.mesh import fsdp_param_specs, shard_params
+            from syncfusion_tpu.core.mesh import fsdp_init_opt, shard_params
 
             params = shard_params(params, self.mesh, min_size=self.fsdp_min_size)
-            # Adam's mu/nu are param-shaped, so the same FSDP rule applied to
-            # the abstract opt state lands the whole optimizer sharded in
-            # HBM; counters and scalars fall through to replicated.
-            abs_opt = jax.eval_shape(self.tx.init, params)
-            opt_sh = jax.tree.map(
-                lambda s: NamedSharding(self.mesh, s),
-                fsdp_param_specs(abs_opt, self.mesh, min_size=self.fsdp_min_size),
-            )
-            opt_state = jax.jit(self.tx.init, out_shardings=opt_sh)(params)
+            opt_state = fsdp_init_opt(self.tx, params, self.mesh,
+                                      min_size=self.fsdp_min_size)
             step = jax.device_put(
                 jnp.zeros((), jnp.int32), NamedSharding(self.mesh, P())
             )

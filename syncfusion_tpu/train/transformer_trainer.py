@@ -45,6 +45,9 @@ class TransformerTrainer:
         weight_decay: float = 0.01,
         betas: tuple[float, float] = (0.9, 0.95),
         grad_clip: float = 1.0,
+        mesh=None,
+        fsdp: bool = False,
+        fsdp_min_size: int = 2**14,
     ):
         self.model = model
         self.tx = optax.chain(
@@ -54,15 +57,69 @@ class TransformerTrainer:
                 weight_decay=weight_decay, mask=decay_mask,
             ),
         )
-        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
-        self.eval_step = jax.jit(self._eval_step)
+        # mesh → DP over `data`; fsdp additionally shards GPT params, Adam
+        # state AND the frozen first-stage/video params over `model`
+        # (core/mesh.fsdp_param_specs — the 300M GPT + 100M frozen stack is
+        # the repo's largest memory footprint).  Single-device path is the
+        # plain jit the reference recipe uses.
+        from syncfusion_tpu.core.mesh import MODEL_AXIS
+
+        self.mesh = mesh
+        self.fsdp = fsdp and mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1
+        self.fsdp_min_size = fsdp_min_size
+        if mesh is not None:
+            from syncfusion_tpu.train.sharding import ShardedStep
+
+            self.train_step = ShardedStep(
+                self._train_step, mesh, ("carried", "carried", "batch", "repl"),
+                out="carry_metrics", donate_carry=True,
+            )
+            self.eval_step = ShardedStep(
+                self._eval_step, mesh, ("carried", "carried", "batch")
+            )
+        else:
+            self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+            self.eval_step = jax.jit(self._eval_step)
 
     def create_state(self, full_params: dict) -> GPTTrainState:
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from syncfusion_tpu.core.mesh import (
+                fsdp_init_opt, replicate_tree, shard_params,
+            )
+
+            gpt = (
+                shard_params(full_params["gpt"], self.mesh,
+                             min_size=self.fsdp_min_size)
+                if self.fsdp
+                else replicate_tree(full_params["gpt"], self.mesh)
+            )
+            return GPTTrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32),
+                                    NamedSharding(self.mesh, P())),
+                gpt_params=gpt,
+                opt_state=fsdp_init_opt(
+                    self.tx, gpt, self.mesh, min_size=self.fsdp_min_size
+                ),
+            )
         return GPTTrainState(
             step=jnp.zeros((), jnp.int32),
             gpt_params=full_params["gpt"],
             opt_state=self.tx.init(full_params["gpt"]),
         )
+
+    def place_frozen(self, frozen: dict) -> dict:
+        """Place the frozen first-stage/video params for the mesh mode:
+        FSDP-sharded over `model` when enabled (they are all-gathered around
+        use like trainables, ~1/tp resident HBM), replicated otherwise."""
+        if self.mesh is None:
+            return frozen
+        from syncfusion_tpu.core.mesh import replicate_tree, shard_params
+
+        if self.fsdp:
+            return shard_params(frozen, self.mesh, min_size=self.fsdp_min_size)
+        return replicate_tree(frozen, self.mesh)
 
     def _loss(self, gpt_params, frozen, batch, key):
         params = {**frozen, "gpt": gpt_params}

@@ -167,3 +167,68 @@ def test_fsdp_shards_state_and_matches_replicated():
     # eval path under the same shardings
     ev = tr.eval_step(state, shard_batch(batch, mesh), jax.random.key(3))
     assert np.isfinite(float(ev["valid_loss"]))
+
+
+def test_gpt_fsdp_matches_replicated():
+    """Stage-2 GPT trainer on the 2-D (data=2, model=4) mesh with FSDP:
+    trainable GPT params, Adam state AND the frozen VQ/video stack live
+    sharded over ``model`` while train/eval losses match the replicated-DP
+    mesh — same contract as the diffusion trainer, via the shared
+    train/sharding.ShardedStep."""
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.core.mesh import MODEL_AXIS, MeshSpec, shard_batch
+    from syncfusion_tpu.models.mingpt import GPTConfig, GPTFeats
+    from syncfusion_tpu.models.transformer_av import AVCondTransformer
+    from syncfusion_tpu.models.vqgan.model import SpecVQGAN, VQModel
+    from syncfusion_tpu.train.transformer_trainer import TransformerTrainer
+
+    tiny_vq = VQModel(embed_dim=16, n_embed=32, ch=8, ch_mult=(1, 2, 2),
+                      num_res_blocks=1, attn_resolutions=(10,), resolution=40,
+                      z_channels=16)
+    gpt = GPTFeats(GPTConfig(vocab_size=32, block_size=128, n_layer=1,
+                             n_head=2, n_embd=16))
+    model = AVCondTransformer(first_stage=SpecVQGAN(tiny_vq), gpt=gpt)
+    params = model.init(jax.random.key(0), n_frames=4)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "spec": (rng.normal(size=(8, 20, 40, 1)) * 0.1).astype(np.float32),
+        "cond_spec": (rng.normal(size=(8, 20, 40, 1)) * 0.1).astype(np.float32),
+        "frames": rng.normal(size=(8, 4, 16, 16, 3)).astype(np.float32),
+    }
+    frozen = {"vq": params["vq"], "video": params["video"]}
+
+    mesh_dp = create_mesh(MeshSpec(data=8, model=1))
+    tr_dp = TransformerTrainer(model, learning_rate=1e-3, mesh=mesh_dp)
+    s_dp = tr_dp.create_state(jax.tree.map(jnp.array, params))
+    s_dp, m_dp = tr_dp.train_step(
+        s_dp, tr_dp.place_frozen(frozen), shard_batch(batch, mesh_dp),
+        np.uint32(7),
+    )
+
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    tr = TransformerTrainer(model, learning_rate=1e-3, mesh=mesh, fsdp=True,
+                            fsdp_min_size=256)
+    state = tr.create_state(params)
+    fz = tr.place_frozen(frozen)
+
+    def n_sharded(tree):
+        return sum(
+            1 for x in jax.tree_util.tree_leaves(tree)
+            if any(ax == MODEL_AXIS
+                   for ax in getattr(x.sharding, "spec", ()) if ax is not None)
+        )
+
+    assert n_sharded(state.gpt_params) > 0
+    assert n_sharded(state.opt_state) == 2 * n_sharded(state.gpt_params)
+    assert n_sharded(fz) > 0  # frozen stack sharded too (1/4 resident HBM)
+
+    state, m = tr.train_step(state, fz, shard_batch(batch, mesh), np.uint32(7))
+    np.testing.assert_allclose(
+        float(m["train/loss"]), float(m_dp["train/loss"]), rtol=1e-5
+    )
+    state, m2 = tr.train_step(state, fz, shard_batch(batch, mesh), np.uint32(8))
+    assert np.isfinite(float(m2["train/loss"]))
+    ev = tr.eval_step(state, fz, shard_batch(batch, mesh))
+    assert np.isfinite(float(ev["val/loss"]))
