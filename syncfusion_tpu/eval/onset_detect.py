@@ -96,4 +96,8 @@ def onset_detect(
     )
     if units == "frames":
         return peaks
-    return peaks * HOP
+    # Centered-STFT frame indices can map one frame past the signal end
+    # (frame ceil(len/HOP) · HOP ≥ len).  The matching protocol indexes the
+    # wav directly at onset positions (evaluate_onset.py:69,76 in the
+    # reference does the same), so clamp into the signal.
+    return np.minimum(peaks * HOP, max(len(y) - 1, 0))

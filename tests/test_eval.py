@@ -47,6 +47,21 @@ def test_onset_detect_silent():
     assert len(onset_detect(y, SR)) == 0
 
 
+def test_onset_detect_end_transient_stays_in_bounds():
+    # A burst at the very end can peak in the final centered-STFT frame,
+    # whose sample index (frame*hop) lands past len(y); detections must be
+    # clamped so match_onsets can index the wav directly (regression:
+    # rehearsal stage3_onset_pred IndexError at 44544 > 44100).
+    y = np.zeros(2 * SR, np.float32)
+    n = 600
+    y[-n:] = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    onsets = onset_detect(y, SR, delta=0.1)
+    assert len(onsets) >= 1
+    assert onsets.max() < len(y)
+    res = match_onsets(onsets, onsets, y)  # direct indexing must not raise
+    assert res["acc"] == 1.0
+
+
 def test_onset_strength_peaks_at_transients():
     y = _click_track([1.0])
     env = onset_strength(y)
