@@ -387,8 +387,14 @@ def _stats_kernel_factory(groups: int, has_residual: bool):
             ones, acc * acc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s_ref[0, 0] = mm(colsum, mask)[0]
-        ss_ref[0, 0] = mm(colsumsq, mask)[0]
+        # The stats blocks cover ALL nb rows of this batch item (block shape
+        # (1, nb, G) revisited across the j loop — Mosaic requires the
+        # trailing block dims be sublane/lane-divisible OR equal to the
+        # array dims, and (1, 1, G) blocks violate the sublane rule); each
+        # grid step writes its own row.
+        j = pl.program_id(1)
+        s_ref[0, j] = mm(colsum, mask)[0]
+        ss_ref[0, j] = mm(colsumsq, mask)[0]
 
     return kernel
 
@@ -444,9 +450,9 @@ def _fused_stats_forward(
         out_specs=[
             pl.BlockSpec((1, block_l, cout), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, num_groups), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nb, num_groups), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, num_groups), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nb, num_groups), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -207,3 +207,56 @@ def test_fused_conv_stats_gradients(rng):
     for a, b_ in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_stats_kernel_tpu_mosaic_lowering():
+    """Cross-platform TPU lowering must pass Mosaic's block-shape checks.
+
+    Interpret mode skips Mosaic entirely, so a kernel can pass every
+    equivalence test here yet fail to compile on the chip (regression:
+    the (1, 1, G) stats blockspec violated the sublane-divisibility rule
+    with array shape (8, 4, 8) — perf_sweep folded256_b4_stats crash).
+    jax.export with platforms=["tpu"] runs the real Mosaic lowering on any
+    host, catching that class of bug in CI.
+    """
+    from unittest import mock
+
+    from jax import export
+
+    from syncfusion_tpu.ops import fused_resblock as fr
+
+    b, l, c, cout, g = 8, 16384, 64, 64, 8  # nb=4: the shape that crashed
+    x = jnp.zeros((b, l, c), jnp.bfloat16)
+    scale = jnp.ones((b, c))
+    shift = jnp.zeros((b, c))
+    w = jnp.zeros((3, c, cout), jnp.bfloat16)
+    bias = jnp.zeros((cout,), jnp.bfloat16)
+
+    def f(x, scale, shift, w, bias):
+        return fr._fused_stats_forward(
+            x, scale, shift, w, bias, num_groups=g, block_l=4096
+        )
+
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        exp = export.export(jax.jit(f), platforms=["tpu"])(x, scale, shift, w, bias)
+    assert [tuple(a.shape) for a in exp.out_avals] == [
+        (b, l, cout), (b, g), (b, g)
+    ]
+
+
+def test_flash_attention_tpu_mosaic_lowering():
+    """Same cross-platform Mosaic gate for the flash-attention kernel."""
+    from unittest import mock
+
+    from jax import export
+
+    from syncfusion_tpu.ops.attention import flash_attention
+
+    q = jnp.zeros((2, 1024, 8, 64), jnp.bfloat16)  # (B, L, H, D)
+
+    def f(q):
+        return flash_attention(q, q, q)
+
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        exp = export.export(jax.jit(f), platforms=["tpu"])(q)
+    assert tuple(exp.out_avals[0].shape) == (2, 1024, 8, 64)
