@@ -123,6 +123,24 @@ def pipeline(
     ])
 
 
+def _force_cpu_jax() -> None:
+    """Pin worker-process jax to CPU before any backend is created.
+
+    The denoise path (`spectral_gate`) runs jax inside every pool worker.
+    On machines where a sitecustomize registers a TPU PJRT plugin, N
+    workers would otherwise race to initialize the (exclusive) TPU — and
+    the gate's complex-STFT ops aren't supported by that plugin anyway.
+    Offline preprocessing belongs on CPU, like the reference's noisereduce.
+    Must run before the first jax computation; env JAX_PLATFORMS alone is
+    overridden by the sitecustomize (see CLAUDE.md)."""
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # jax absent: ffmpeg-only preprocessing still works
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input_dir", required=True)
@@ -149,7 +167,8 @@ def main(argv=None) -> None:
     # up thread pools on import) and a forked child inherits locked mutexes —
     # deadlocked the CLI test inside pytest (fork() of a 20-thread process).
     ctx = multiprocessing.get_context("spawn")
-    with ProcessPoolExecutor(max_workers=args.num_workers, mp_context=ctx) as pool:
+    with ProcessPoolExecutor(max_workers=args.num_workers, mp_context=ctx,
+                             initializer=_force_cpu_jax) as pool:
         futures = [
             pool.submit(
                 pipeline, str(v), args.video_suffix, args.audio_sample_rate,

@@ -74,8 +74,11 @@ def make_dataset(cfg, split: str, augment_override=None) -> GreatestHitsDataset:
             wire_uint8=True,
         ),
         data_to_use=d.get(f"{split}_data_to_use", 1.0),
-        # epochs ≥2 skip the JPEG decode hot loop (~0.4 s/item measured)
-        cache_decoded=True,
+        # epochs ≥2 skip the JPEG decode hot loop (~0.4 s/item measured);
+        # capped so the full GH train split can't OOM the host — beyond the
+        # cap, chunks just stay on the decode path.
+        cache_decoded=d.get("cache_decoded", True),
+        cache_max_bytes=int(d.get("cache_decoded_mb", 8192)) << 20,
     )
 
 

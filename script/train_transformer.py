@@ -121,6 +121,10 @@ def main(argv=None) -> None:
     train_ds.print()
 
     to_spec = jax.jit(lambda w: wav_to_spec(w)[..., None])
+    # Media forwards (3 samplers + attention + decodes) as ONE jitted graph:
+    # eager dispatch over the chip tunnel is ~100 ms/op (CLAUDE.md), so an
+    # unjitted log_images stalls training for minutes every val epoch.
+    log_images_jit = jax.jit(model.log_images)
     # Host-side seed chain — the trainer builds keys inside the jitted step
     # (no eager jax.random.split round trips; see diffusion_trainer.ensure_key).
     seed_rng = np.random.default_rng(cfg.get("seed", 0))
@@ -172,8 +176,8 @@ def main(argv=None) -> None:
                     sub = jax.random.key(int(seed_rng.integers(2**32)))
                     lp = {"vq": frozen["vq"], "video": frozen["video"],
                           "gpt": state.gpt_params}
-                    media = model.log_images(lp, jb["spec"], jb["cond_spec"],
-                                             jb["frames"], sub)
+                    media = log_images_jit(lp, jb["spec"], jb["cond_spec"],
+                                           jb["frames"], sub)
                     spec_keys = ("inputs", "reconstructions", "samples_half",
                                  "samples_nopix", "samples_det")
                     write_spec_panel(

@@ -144,7 +144,10 @@ def main(argv=None) -> None:
         # Template-free: train checkpoints hold the full TrainState (a
         # partial {"params"} template raises a structure mismatch).
         ck = Checkpointer(CheckpointConfig(directory=args.diffusion_ckpt))
-        tree = ck.restore_tree(ck.best_step() or ck.latest_step())
+        step = ck.best_step()
+        if step is None:
+            step = ck.latest_step()
+        tree = ck.restore_tree(step)
         params = tree["params"] if "params" in tree else tree
     else:
         log.warning("no diffusion checkpoint — output is noise-shaped")

@@ -85,10 +85,6 @@ _Loader.add_implicit_resolver(
 )
 
 
-def _yaml_load(text: str) -> Any:
-    return yaml.load(text, Loader=_Loader)
-
-
 def yaml_load(stream) -> Any:
     """Project-dialect YAML load (accepts ``1e-8``-style floats).
 
@@ -98,9 +94,11 @@ def yaml_load(stream) -> Any:
     return yaml.load(stream, Loader=_Loader)
 
 
+
+
 def _load_yaml(path: Path) -> Config:
     with open(path) as f:
-        data = _yaml_load(f.read()) or {}
+        data = yaml_load(f.read()) or {}
     if not isinstance(data, dict):
         raise ValueError(f"{path} must contain a mapping at top level")
     return Config.wrap(data)
@@ -151,7 +149,7 @@ def _resolve_ref(expr: str, root: Mapping) -> Any:
         value = os.environ.get(name.strip())
         if value is None:
             if default:
-                return _yaml_load(default)
+                return yaml_load(default)
             raise KeyError(f"environment variable {name!r} not set")
         return value
     target = _lookup(root, expr)
@@ -177,7 +175,7 @@ def _parse_override(item: str) -> tuple[str, Any, bool]:
     if additive:
         item = item[1:]
     key, _, raw = item.partition("=")
-    return key, _yaml_load(raw) if raw != "" else None, additive
+    return key, yaml_load(raw) if raw != "" else None, additive
 
 
 def _set_dotted(cfg: MutableMapping, dotted: str, value: Any, additive: bool) -> None:

@@ -50,6 +50,7 @@ class GreatestHitsDataset:
         frame_file_suffix: str = ".jpg",
         seed: int = 0,
         cache_decoded: bool = False,
+        cache_max_bytes: Optional[int] = 8 << 30,
     ):
         self.root = Path(root_dir)
         self.transform = frames_transforms or FrameTransform(augment=False)
@@ -61,7 +62,12 @@ class GreatestHitsDataset:
         # whole accelerator step was host-decode-bound without this.  The
         # uint8 quantization of the cached (pre-crop/jitter) frames is one
         # part in 255 — the same precision as the JPEG source pixels.
+        # cache_max_bytes bounds host RAM: once full, later chunks simply
+        # stay on the decode path (a partial cache still removes that share
+        # of the JPEG hot loop; no eviction churn).  None = unbounded.
         self._decoded: Optional[dict[int, np.ndarray]] = {} if cache_decoded else None
+        self._cache_max_bytes = cache_max_bytes
+        self._cache_bytes = 0
 
         samples = Path(split_file_path).read_text().splitlines()
         if data_to_use < 1.0:
@@ -135,7 +141,11 @@ class GreatestHitsDataset:
         )
         frames = self.transform.resize_stage(frames)
         if self._decoded is not None:
-            self._decoded[index] = (frames * 255.0 + 0.5).astype(np.uint8)
+            q = (frames * 255.0 + 0.5).astype(np.uint8)
+            if (self._cache_max_bytes is None
+                    or self._cache_bytes + q.nbytes <= self._cache_max_bytes):
+                self._decoded[index] = q
+                self._cache_bytes += q.nbytes
         return frames
 
     def __getitem__(self, index: int) -> dict:

@@ -66,7 +66,7 @@ def trim_video(
     dest = tmp / f"{video_path.stem}{tag}{int(trim_duration)}s_from_{start:.4f}.mp4"
     _run([
         which_ffmpeg(), "-hide_banner", "-loglevel", "panic",
-        "-i", str(video_path), "-ss", str(start), "-t", str(int(trim_duration)),
+        "-i", str(video_path), "-ss", str(start), "-t", str(trim_duration),
         "-y", str(dest),
     ])
     return str(dest)
