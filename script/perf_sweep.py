@@ -50,6 +50,14 @@ VARIANTS = {
     "folded256_b4_stats": dict(fold_cap=256, bf16_params=False, batch=4,
                                fused_stats=True),
     "folded256_stats": dict(fold_cap=256, bf16_params=False, fused_stats=True),
+    # guidance interval (Kynkaanniemi 2024): CFG only for sigma in [lo, hi];
+    # steps outside run the cond-only forward at half compute
+    "folded256_b4_gi07": dict(fold_cap=256, bf16_params=False, batch=4,
+                              guidance_interval=(0.0, 0.7)),
+    "folded256_b4_gi0107": dict(fold_cap=256, bf16_params=False, batch=4,
+                                guidance_interval=(0.1, 0.7)),
+    "folded256_b4_gi0208": dict(fold_cap=256, bf16_params=False, batch=4,
+                                guidance_interval=(0.2, 0.8)),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
@@ -102,7 +110,7 @@ def run_train(name: str, fold_cap: int, flash: bool = False) -> None:
 
 def run(name: str, fold_cap: int, bf16_params: bool = False,
         batch: int = BATCH, train: bool = False, flash: bool = False,
-        fused_stats: bool = False) -> None:
+        fused_stats: bool = False, guidance_interval=None) -> None:
     if train:
         return run_train(name, fold_cap, flash)
     global BATCH
@@ -129,6 +137,7 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
         return model.sample(
             params, noise, onsets, embedding,
             num_steps=NUM_STEPS, embedding_scale=2.0,
+            guidance_interval=guidance_interval,
         )
 
     t0 = time.perf_counter()

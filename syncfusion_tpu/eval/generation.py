@@ -56,6 +56,7 @@ def generate_dataset(
     num_steps: int = 150,
     length: int = 2**18,
     embedding_scale: float = 7.5,
+    guidance_interval=None,
     cut_prefix: bool = False,
     cond_text: bool = False,
     one_chunk_per_track: bool = False,
@@ -74,6 +75,8 @@ def generate_dataset(
         return model.sample(
             params, noise, onsets, embedding,
             num_steps=num_steps, embedding_scale=embedding_scale,
+            guidance_interval=(tuple(guidance_interval)
+                               if guidance_interval else None),
         )
 
     root_key = jax.random.key(seed)

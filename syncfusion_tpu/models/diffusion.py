@@ -74,51 +74,79 @@ def v_sample(
     context: Optional[Sequence[jax.Array]] = None,
     embedding: Optional[jax.Array] = None,
     embedding_scale: float = 1.0,
+    guidance_interval: Optional[tuple[float, float]] = None,
 ) -> jax.Array:
     """Deterministic v-sampler from pure noise ``(B, L, C)``.
 
     With ``embedding_scale != 1`` the conditional and unconditional branches
     are folded into a single forward of batch 2B (uncond branch passes
     ``embedding=None`` → the net substitutes its fixed embedding).
+
+    ``guidance_interval=(lo, hi)`` applies CFG only at noise levels
+    ``lo <= sigma <= hi`` (sigma runs 1→0 over the trajectory); steps
+    outside the band run a single conditional forward at half the compute
+    (Kynkäänniemi et al. 2024, "Applying guidance in a limited interval",
+    arXiv:2404.07724 — guidance at the extreme noise levels is known to
+    cost compute without helping, and can actively hurt at high sigma).
+    The step schedule is static, so the trajectory splits into contiguous
+    `lax.scan` segments — no per-step branching in the compiled graph.
     """
     use_cfg = embedding is not None and embedding_scale != 1.0
     sigmas = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
 
-    if use_cfg:
-        def net(x, sigma_scalar):
-            x2 = jnp.concatenate([x, x], axis=0)
-            ctx2 = (
-                [jnp.concatenate([c, c], axis=0) for c in context]
-                if context is not None
-                else None
-            )
-            emb2 = jnp.concatenate(
-                [embedding, jnp.zeros_like(embedding)], axis=0
-            )
-            # mask=1 on the second half → net uses its fixed embedding there.
-            mask = jnp.concatenate(
-                [jnp.zeros((x.shape[0], 1, 1)), jnp.ones((x.shape[0], 1, 1))], axis=0
-            )
-            sig2 = jnp.full((x2.shape[0],), sigma_scalar, jnp.float32)
-            v2 = apply_fn(
-                params, x2, sig2, context=ctx2, embedding=emb2,
-                embedding_cfg_mask=mask,
-            )
-            v_cond, v_uncond = jnp.split(v2, 2, axis=0)
-            return v_uncond + (v_cond - v_uncond) * embedding_scale
-    else:
-        def net(x, sigma_scalar):
-            sig = jnp.full((x.shape[0],), sigma_scalar, jnp.float32)
-            return apply_fn(params, x, sig, context=context, embedding=embedding)
+    def net_cfg(x, sigma_scalar):
+        x2 = jnp.concatenate([x, x], axis=0)
+        ctx2 = (
+            [jnp.concatenate([c, c], axis=0) for c in context]
+            if context is not None
+            else None
+        )
+        emb2 = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding)], axis=0
+        )
+        # mask=1 on the second half → net uses its fixed embedding there.
+        mask = jnp.concatenate(
+            [jnp.zeros((x.shape[0], 1, 1)), jnp.ones((x.shape[0], 1, 1))], axis=0
+        )
+        sig2 = jnp.full((x2.shape[0],), sigma_scalar, jnp.float32)
+        v2 = apply_fn(
+            params, x2, sig2, context=ctx2, embedding=emb2,
+            embedding_cfg_mask=mask,
+        )
+        v_cond, v_uncond = jnp.split(v2, 2, axis=0)
+        return v_uncond + (v_cond - v_uncond) * embedding_scale
 
-    def step(x, i):
-        s_now, s_next = sigmas[i], sigmas[i + 1]
-        a_now, b_now = alpha_beta(s_now)
-        a_next, b_next = alpha_beta(s_next)
-        v = net(x, s_now)
-        x0 = a_now * x - b_now * v
-        eps = b_now * x + a_now * v
-        return a_next * x0 + b_next * eps, None
+    def net_plain(x, sigma_scalar):
+        sig = jnp.full((x.shape[0],), sigma_scalar, jnp.float32)
+        return apply_fn(params, x, sig, context=context, embedding=embedding)
 
+    def make_step(net):
+        def step(x, i):
+            s_now, s_next = sigmas[i], sigmas[i + 1]
+            a_now, b_now = alpha_beta(s_now)
+            a_next, b_next = alpha_beta(s_next)
+            v = net(x, s_now)
+            x0 = a_now * x - b_now * v
+            eps = b_now * x + a_now * v
+            return a_next * x0 + b_next * eps, None
+        return step
+
+    if use_cfg and guidance_interval is not None:
+        lo, hi = guidance_interval
+        step_cfg, step_plain = make_step(net_cfg), make_step(net_plain)
+        # linspace(1, 0, n+1)[k] == 1 - k/n exactly; membership is static.
+        in_band = [lo <= 1.0 - k / num_steps <= hi for k in range(num_steps)]
+        x = noise
+        start = 0
+        while start < num_steps:
+            end = start
+            while end < num_steps and in_band[end] == in_band[start]:
+                end += 1
+            step = step_cfg if in_band[start] else step_plain
+            x, _ = jax.lax.scan(step, x, jnp.arange(start, end))
+            start = end
+        return x
+
+    step = make_step(net_cfg if use_cfg else net_plain)
     x, _ = jax.lax.scan(step, noise, jnp.arange(num_steps))
     return x

@@ -173,10 +173,15 @@ class SyncFusionDiffusion:
         embedding: Optional[jax.Array],
         num_steps: int = 150,
         embedding_scale: float = 1.0,
+        guidance_interval: Optional[tuple[float, float]] = None,
     ) -> jax.Array:
         """Generate waveforms from noise (B, L, 1) conditioned on onsets +
         embedding (reference eval protocol: 150 steps, scale 2.0 —
         exp/evaluate_gh_gen.yaml:22-23).
+
+        ``guidance_interval=(lo, hi)`` restricts CFG to that sigma band
+        (steps outside run the conditional branch only, at half compute) —
+        see models/diffusion.v_sample.
 
         With ``fold_cap`` set, the whole scan carry stays in folded layout:
         noise is folded once, the context pyramid is folded once (outside
@@ -211,6 +216,7 @@ class SyncFusionDiffusion:
                     apply_fn, params["unet"], fold(noise, entry_fold), num_steps,
                     context=ctx_f, embedding=embedding,
                     embedding_scale=embedding_scale,
+                    guidance_interval=guidance_interval,
                 )
                 return unfold(out, entry_fold)
 
@@ -222,6 +228,7 @@ class SyncFusionDiffusion:
             context=context,
             embedding=embedding,
             embedding_scale=embedding_scale,
+            guidance_interval=guidance_interval,
         )
 
     def param_count(self, params: dict) -> int:

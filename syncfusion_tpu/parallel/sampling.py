@@ -34,6 +34,7 @@ class DataParallelSampler:
         embedding_scale: float = 2.0,
         per_chip_batch: int = 8,
         length: int = 2**18,
+        guidance_interval=None,
     ):
         self.model = model
         self.mesh = mesh
@@ -48,6 +49,7 @@ class DataParallelSampler:
             lambda params, noise, onsets, emb: model.sample(
                 params, noise, onsets, emb,
                 num_steps=num_steps, embedding_scale=embedding_scale,
+                guidance_interval=guidance_interval,
             ),
             in_shardings=(replicated, sharded, sharded, sharded),
             out_shardings=sharded,

@@ -217,3 +217,50 @@ def test_fused_unet_matches_plain():
     a = plain.apply(params, x, sigma, embedding=emb)
     b = fused.apply(params, x, sigma, embedding=emb)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_guidance_interval_full_band_equals_cfg(stack):
+    """(0, 1) covers every sigma -> identical to plain CFG sampling."""
+    model, params = stack
+    noise = jax.random.normal(jax.random.key(8), (1, L, 1))
+    onsets = jnp.zeros((1, L, 1)).at[:, 20, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(9), (1, 1, 16))
+    a = model.sample(params, noise, onsets, emb, num_steps=4,
+                     embedding_scale=2.0)
+    b = model.sample(params, noise, onsets, emb, num_steps=4,
+                     embedding_scale=2.0, guidance_interval=(0.0, 1.0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_guidance_interval_empty_band_equals_conditional(stack):
+    """A band no sigma falls in -> every step is the cond-only forward."""
+    model, params = stack
+    noise = jax.random.normal(jax.random.key(10), (1, L, 1))
+    onsets = jnp.zeros((1, L, 1)).at[:, 30, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(11), (1, 1, 16))
+    a = model.sample(params, noise, onsets, emb, num_steps=4,
+                     embedding_scale=1.0)
+    b = model.sample(params, noise, onsets, emb, num_steps=4,
+                     embedding_scale=2.0, guidance_interval=(2.0, 3.0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_guidance_interval_partial_band_jits_and_differs(stack):
+    """A middle band compiles (static scan segments) and actually guides:
+    differs from both always-CFG and never-CFG trajectories."""
+    model, params = stack
+    noise = jax.random.normal(jax.random.key(12), (1, L, 1))
+    onsets = jnp.zeros((1, L, 1)).at[:, 40, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(13), (1, 1, 16))
+    gi = jax.jit(
+        lambda p, n: model.sample(p, n, onsets, emb, num_steps=6,
+                                  embedding_scale=3.0,
+                                  guidance_interval=(0.2, 0.8))
+    )(params, noise)
+    full = model.sample(params, noise, onsets, emb, num_steps=6,
+                        embedding_scale=3.0)
+    none = model.sample(params, noise, onsets, emb, num_steps=6,
+                        embedding_scale=1.0)
+    assert gi.shape == (1, L, 1) and np.isfinite(np.asarray(gi)).all()
+    assert not np.allclose(np.asarray(gi), np.asarray(full), atol=1e-4)
+    assert not np.allclose(np.asarray(gi), np.asarray(none), atol=1e-4)
