@@ -58,6 +58,13 @@ VARIANTS = {
                                 guidance_interval=(0.1, 0.7)),
     "folded256_b4_gi0208": dict(fold_cap=256, bf16_params=False, batch=4,
                                 guidance_interval=(0.2, 0.8)),
+    # diagnostics: is the per-step cost batch-bound or floor-bound?
+    "folded256_b4_s1": dict(fold_cap=256, bf16_params=False, batch=4,
+                            embedding_scale=1.0),
+    "folded256_b8_gi0107": dict(fold_cap=256, bf16_params=False, batch=8,
+                                guidance_interval=(0.1, 0.7)),
+    "folded256_b6_gi0107": dict(fold_cap=256, bf16_params=False, batch=6,
+                                guidance_interval=(0.1, 0.7)),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
@@ -110,7 +117,8 @@ def run_train(name: str, fold_cap: int, flash: bool = False) -> None:
 
 def run(name: str, fold_cap: int, bf16_params: bool = False,
         batch: int = BATCH, train: bool = False, flash: bool = False,
-        fused_stats: bool = False, guidance_interval=None) -> None:
+        fused_stats: bool = False, guidance_interval=None,
+        embedding_scale: float = 2.0) -> None:
     if train:
         return run_train(name, fold_cap, flash)
     global BATCH
@@ -136,7 +144,7 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
     def generate(params, noise):
         return model.sample(
             params, noise, onsets, embedding,
-            num_steps=NUM_STEPS, embedding_scale=2.0,
+            num_steps=NUM_STEPS, embedding_scale=embedding_scale,
             guidance_interval=guidance_interval,
         )
 
