@@ -97,6 +97,12 @@ def main(argv=None) -> None:
     ap.add_argument("--output", default="foley.wav")
     ap.add_argument("--num_steps", type=int, default=150)
     ap.add_argument("--embedding_scale", type=float, default=2.0)
+    ap.add_argument("--guidance_interval", type=float, nargs=2, default=(0.2, 0.8),
+                    metavar=("LO", "HI"),
+                    help="apply CFG only for LO <= sigma <= HI (serving "
+                         "default; measured better FAD/onset metrics AND "
+                         "faster than always-on CFG). Pass '-1 -1' to "
+                         "disable (reference-parity always-on CFG).")
     ap.add_argument("--onset_layers", type=int, nargs=4, default=(2, 2, 2, 2))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mux_video", default=None,
@@ -152,9 +158,13 @@ def main(argv=None) -> None:
     else:
         log.warning("no diffusion checkpoint — output is noise-shaped")
 
+    gi = tuple(args.guidance_interval)
+    if gi[0] < 0:
+        gi = None
     noise = jax.random.normal(jax.random.key(args.seed), (1, LENGTH, 1))
     wav = np.asarray(jax.jit(
         lambda p, n: model.sample(p, n, jnp.asarray(onsets), jnp.asarray(embedding),
+                                  guidance_interval=gi,
                                   num_steps=args.num_steps,
                                   embedding_scale=args.embedding_scale)
     )(params, noise))[0, :, 0]
