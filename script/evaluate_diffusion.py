@@ -70,12 +70,9 @@ def load_params(model: SyncFusionDiffusion, model_path: str | None, length: int,
     # structure mismatch.  Prefer the best-by-monitored-metric step (the
     # reference evaluates the best val checkpoint, README.md:168-217).
     ck = Checkpointer(CheckpointConfig(directory=Path(model_path)))
-    step = ck.best_step()
-    if step is None:
-        step = ck.latest_step()
-    tree = ck.restore_tree(step)
-    log.info("restored step %s from %s", step, model_path)
-    return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+    params = ck.restore_params()
+    log.info("restored best/latest step from %s", model_path)
+    return params
 
 
 def main(argv=None) -> None:

@@ -136,7 +136,7 @@ def main(argv=None) -> None:
                 "--style_transfer without --vgg19_ckpt: using random VGG19 "
                 "weights (env-gated, like LPAPS/MelGAN real-weight loads)"
             )
-            vgg_vars = Vgg19Prefix().init(
+            vgg_vars = jax.jit(Vgg19Prefix().init)(
                 jax.random.key(0), jnp.zeros((1, 80, 160, 3))
             )
 

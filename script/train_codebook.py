@@ -119,8 +119,12 @@ def main(argv=None) -> None:
             usage = float(np.mean([float(v["val/codebook_usage"]) for v in vals]))
             metrics_logger.log({"val/rec_loss": rec, "val/codebook_usage": usage},
                                step=step)
-            ckpt.save(step, state, {"val/rec_loss": rec})
             log.info("epoch %d val/rec_loss %.4f", epoch, rec)
+            # Media D2H pulls run BEFORE dispatching the async checkpoint
+            # drain: transfers over the chip tunnel are FIFO, so pulling
+            # after save() would block on the multi-GB state drain
+            # (CLAUDE.md tunnel rules; train_diffusion_model.py does the
+            # same).
             try:
                 # recon panel + vocoded wavs (ImageLogger equivalent —
                 # reference image_logger.py:63-80 logs input/rec audio too).
@@ -152,6 +156,7 @@ def main(argv=None) -> None:
                     )
             except Exception as e:
                 log.warning("media logging failed: %s", e)
+            ckpt.save(step, state, {"val/rec_loss": rec})
     ckpt.wait()
 
 

@@ -161,8 +161,10 @@ def main(argv=None) -> None:
         if vals:
             v = float(np.mean(vals))
             metrics_logger.log({"val/loss": v}, step=step)
-            ckpt.save(step, state, {"val/loss": v})
             log.info("epoch %d val/loss %.4f", epoch, v)
+            # Media D2H pulls come BEFORE the async checkpoint dispatch:
+            # tunnel transfers are FIFO, so the reverse order would stall
+            # the pulls behind the ~GB state drain (CLAUDE.md).
             if cfg.get("log_media", True):
                 # ImageLogger equivalent (reference image_logger.py:16-230 +
                 # av_cond_transformer.log_images): sample panels, attention
@@ -196,6 +198,7 @@ def main(argv=None) -> None:
                     )
                 except Exception as e:
                     log.warning("media logging failed: %s", e)
+            ckpt.save(step, state, {"val/loss": v})
     ckpt.wait()
 
 

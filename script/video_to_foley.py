@@ -150,11 +150,7 @@ def main(argv=None) -> None:
         # Template-free: train checkpoints hold the full TrainState (a
         # partial {"params"} template raises a structure mismatch).
         ck = Checkpointer(CheckpointConfig(directory=args.diffusion_ckpt))
-        step = ck.best_step()
-        if step is None:
-            step = ck.latest_step()
-        tree = ck.restore_tree(step)
-        params = tree["params"] if "params" in tree else tree
+        params = ck.restore_params()
     else:
         log.warning("no diffusion checkpoint — output is noise-shaped")
 

@@ -176,6 +176,23 @@ class Checkpointer:
             raise FileNotFoundError(f"no checkpoint in {self.config.directory}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore())
 
+    def restore_params(self, step: Optional[int] = None) -> Any:
+        """Best-val (else latest) template-free restore, unwrapping the
+        ``params`` subtree out of a full TrainState checkpoint.
+
+        The shared eval-side loading path (evaluate_diffusion,
+        video_to_foley): the reference evaluates its best val checkpoint
+        (reference README.md:168-217), and train checkpoints here hold
+        step/params/opt_state so a partial template would mismatch."""
+        if step is None:
+            step = self.best_step()
+        if step is None:
+            step = self.latest_step()
+        tree = self.restore_tree(step)
+        if isinstance(tree, dict) and "params" in tree:
+            return tree["params"]
+        return tree
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

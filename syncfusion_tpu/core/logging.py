@@ -36,11 +36,18 @@ def get_logger(name: str = "syncfusion_tpu") -> logging.Logger:
     # first, which populates this state; otherwise the process is rank 0.
     try:
         from jax._src import distributed
+    except ImportError:
+        # Private module moved in a jax upgrade: fall back to the public
+        # API (which may force backend init) rather than silently losing
+        # rank gating — duplicated multi-host logs would be invisible
+        # otherwise.
+        import jax
 
-        if (distributed.global_state.process_id or 0) != 0:
+        if jax.process_count() > 1 and jax.process_index() != 0:
             logger.setLevel(logging.ERROR)
-    except Exception:
-        pass
+        return logger
+    if (getattr(distributed.global_state, "process_id", 0) or 0) != 0:
+        logger.setLevel(logging.ERROR)
     return logger
 
 

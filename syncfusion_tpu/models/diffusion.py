@@ -65,6 +65,19 @@ def v_diffusion_loss(
     return jnp.mean(jnp.square(v_pred - v_target))
 
 
+def guidance_band_mask(num_steps: int, lo: float, hi: float) -> list[bool]:
+    """Static CFG-band membership per sampler step (k has sigma = 1 - k/n).
+
+    A band edge landing exactly on a step's sigma includes that step, but
+    both ``1 - k/n`` and ``lo*n`` carry float rounding (e.g.
+    ``1 - 120/150 < 0.2``), so compare with a tolerance far below 1/n.
+    """
+    eps = 1e-9
+    return [
+        lo - eps <= 1.0 - k / num_steps <= hi + eps for k in range(num_steps)
+    ]
+
+
 def v_sample(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -134,8 +147,7 @@ def v_sample(
     if use_cfg and guidance_interval is not None:
         lo, hi = guidance_interval
         step_cfg, step_plain = make_step(net_cfg), make_step(net_plain)
-        # linspace(1, 0, n+1)[k] == 1 - k/n exactly; membership is static.
-        in_band = [lo <= 1.0 - k / num_steps <= hi for k in range(num_steps)]
+        in_band = guidance_band_mask(num_steps, lo, hi)
         x = noise
         start = 0
         while start < num_steps:

@@ -89,19 +89,26 @@ class TransformerTrainer:
                 fsdp_init_opt, replicate_tree, shard_params,
             )
 
-            gpt = (
-                shard_params(full_params["gpt"], self.mesh,
-                             min_size=self.fsdp_min_size)
-                if self.fsdp
-                else replicate_tree(full_params["gpt"], self.mesh)
-            )
+            if self.fsdp:
+                gpt = shard_params(full_params["gpt"], self.mesh,
+                                   min_size=self.fsdp_min_size)
+                opt = fsdp_init_opt(
+                    self.tx, gpt, self.mesh, min_size=self.fsdp_min_size
+                )
+            else:
+                # Non-FSDP mesh: params AND Adam state replicated —
+                # sharding only the optimizer would force per-step
+                # all-gathers of mu/nu against replicated params.
+                gpt = replicate_tree(full_params["gpt"], self.mesh)
+                opt = jax.jit(
+                    self.tx.init,
+                    out_shardings=NamedSharding(self.mesh, P()),
+                )(gpt)
             return GPTTrainState(
                 step=jax.device_put(jnp.zeros((), jnp.int32),
                                     NamedSharding(self.mesh, P())),
                 gpt_params=gpt,
-                opt_state=fsdp_init_opt(
-                    self.tx, gpt, self.mesh, min_size=self.fsdp_min_size
-                ),
+                opt_state=opt,
             )
         return GPTTrainState(
             step=jnp.zeros((), jnp.int32),

@@ -264,3 +264,19 @@ def test_guidance_interval_partial_band_jits_and_differs(stack):
     assert gi.shape == (1, L, 1) and np.isfinite(np.asarray(gi)).all()
     assert not np.allclose(np.asarray(gi), np.asarray(full), atol=1e-4)
     assert not np.allclose(np.asarray(gi), np.asarray(none), atol=1e-4)
+
+
+def test_guidance_band_mask_includes_exact_boundary_steps():
+    """Band edges landing exactly on a step's sigma include that step.
+
+    Regression: `1 - 120/150` rounds to 0.19999999999999996 < 0.2, so a
+    naive float comparison drops the sigma=lo step from the (0.2, 0.8)
+    band at the production step counts (100/150)."""
+    from syncfusion_tpu.models.diffusion import guidance_band_mask
+
+    for n in (100, 150):
+        mask = guidance_band_mask(n, 0.2, 0.8)
+        ks = [k for k, m in enumerate(mask) if m]
+        # sigma = 1 - k/n in [0.2, 0.8]  <=>  k in [0.2n, 0.8n] inclusive.
+        assert ks[0] == int(round(0.2 * n))
+        assert ks[-1] == int(round(0.8 * n))
