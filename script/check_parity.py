@@ -274,17 +274,16 @@ def check_adp_variant_sweep(ckpt: str, data: str | None, n_chunks: int = 8) -> d
     from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 
     if data:
-        from syncfusion_tpu.data.sfx_dataset import create_sfx_dataset
+        from syncfusion_tpu.data.sfx_dataset import collate, create_sfx_dataset
 
-        items = []
-        for item in create_sfx_dataset(data, chunk_size=2**18, shift_augment=False,
-                                       cut_prefix=True, one_chunk_per_track=True,
-                                       shardshuffle=False)(seed=0):
-            items.append(item)
-            if len(items) >= n_chunks:
-                break
-        wav = np.stack([i["wav"] for i in items])
-        onsets = np.stack([i["onsets"] for i in items])
+        items = list(itertools.islice(
+            create_sfx_dataset(data, sample_rate=48000, chunk_size=2**18,
+                               shift_augment=False, cut_prefix=True,
+                               one_chunk_per_track=True, shardshuffle=False,
+                               seed=0),
+            n_chunks))
+        batch = collate(items)                  # (B, L, 1) model-facing layout
+        wav, onsets = batch["wav"], batch["onsets"]
     else:  # synthetic fallback — still discriminative, not the real gate
         rng = np.random.default_rng(0)
         wav = rng.normal(size=(n_chunks, 2**18, 1)).astype(np.float32) * 0.1

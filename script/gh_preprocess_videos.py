@@ -132,11 +132,11 @@ def _force_cpu_jax() -> None:
     the gate's complex-STFT ops aren't supported by that plugin anyway.
     Offline preprocessing belongs on CPU, like the reference's noisereduce.
     Must run before the first jax computation; env JAX_PLATFORMS alone is
-    overridden by the sitecustomize (see CLAUDE.md)."""
+    overridden by the sitecustomize (see core/platform.py)."""
     try:
-        import jax
+        from syncfusion_tpu.core.platform import force_platform
 
-        jax.config.update("jax_platforms", "cpu")
+        force_platform("cpu")
     except Exception:
         pass  # jax absent: ffmpeg-only preprocessing still works
 

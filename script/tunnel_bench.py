@@ -88,7 +88,7 @@ def main():
     # jax.Array caches its host value after the first pull — every
     # measurement must pull a FRESH device array (g(i) below), or the
     # numbers are host-memcpy speed, not the tunnel.
-    g = jax.jit(lambda n, i: jnp.full((n,), i, jnp.float32))
+    g = jax.jit(lambda n, i: jnp.full((n,), i, jnp.float32), static_argnums=0)
     for mb in (1, 16, 64):
         n = mb * 1024 * 1024 // 4
 

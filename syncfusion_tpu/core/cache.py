@@ -17,19 +17,17 @@ def enable_compile_cache(path: str | os.PathLike | None = None) -> None:
     (gitignored) or ``path``.  Must run before the first compilation; safe
     to call from every driver.
 
-    Also honors ``SYNCFUSION_PLATFORM=cpu``: this environment's
-    sitecustomize pre-imports jax and overrides ``JAX_PLATFORMS``, so a
-    plain env var cannot force the CPU backend — but a config update
-    before the first backend creation can (same trick as
-    tests/conftest.py).  Lets any CLI be driven on CPU while the
-    exclusive TPU tunnel is busy (CI, verification, parallel dev)."""
+    Also honors ``SYNCFUSION_PLATFORM=cpu`` (see core/platform.py): lets
+    any CLI be driven on CPU while the exclusive TPU tunnel is busy (CI,
+    verification, parallel dev), with the CPU-ahead compile cache."""
     import jax
 
-    platform = os.environ.get("SYNCFUSION_PLATFORM")
-    if platform:
-        jax.config.update("jax_platforms", platform)
+    from syncfusion_tpu.core.platform import honor_platform_request
+
+    platform = honor_platform_request()
+    if platform == "cpu" and path is None:
         cpu_cache = Path(__file__).resolve().parents[2] / ".jax_cache_cpu"
-        if platform == "cpu" and path is None and cpu_cache.is_dir():
+        if cpu_cache.is_dir():
             path = cpu_cache
     if path is None:
         path = Path(__file__).resolve().parents[2] / ".jax_cache"

@@ -152,8 +152,11 @@ class Checkpointer:
             except BaseException as e:  # surfaced on the next save()/wait()
                 self._worker_error.append(e)
 
+        # Non-daemon: interpreter shutdown (incl. Ctrl-C / uncaught exception
+        # in the train loop) waits for the in-flight commit instead of
+        # killing it mid-write and stranding a *.orbax-checkpoint-tmp dir.
         self._worker = threading.Thread(
-            target=run, name=f"ckpt-save-{step}", daemon=True
+            target=run, name=f"ckpt-save-{step}", daemon=False
         )
         self._worker.start()
 

@@ -248,8 +248,8 @@ def _fwd(x, scale, shift, weight, bias, block_l, interpret):
 
 def _bwd(block_l, interpret, res, g):
     x, scale, shift, weight, bias = res
-    _, vjp = jax.vjp(lambda *a: _reference(*a), x, scale, shift, weight, bias)
-    return vjp(g.astype(jnp.float32))
+    out, vjp = jax.vjp(lambda *a: _reference(*a), x, scale, shift, weight, bias)
+    return vjp(g.astype(out.dtype))  # match the primal output dtype (bf16-safe)
 
 
 fused_affine_silu_conv.defvjp(_fwd, _bwd)
@@ -555,9 +555,12 @@ def _stats_bwd(num_groups, block_l, interpret, res, g):
         return _stats_reference(x_, sc_, sh_, w_, b_, r_, num_groups)
 
     primals = (x, scale, shift, weight, bias) + ((residual,) if has_res else ())
-    _, vjp = jax.vjp(ref, *primals)
-    g32 = jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), g)
-    grads = vjp(g32)
+    ref_out, vjp = jax.vjp(ref, *primals)
+    # Cotangent dtypes must match the primal outputs: y is x.dtype (may be
+    # bf16), the s/ss stats are f32 — a blanket f32 cast broke bf16 training.
+    g_cast = jax.tree_util.tree_map(
+        lambda t, o: t.astype(o.dtype), g, ref_out)
+    grads = vjp(g_cast)
     if not has_res:
         grads = grads + (None,)
     return grads

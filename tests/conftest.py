@@ -7,17 +7,16 @@ without TPU hardware (SURVEY §4 'mesh-on-CPU harness').
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the outer env pins a TPU platform
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+# A sitecustomize pre-imports jax with the TPU platform before this file
+# runs; no backend exists yet, so re-pointing the config still works
+# (shared trick: syncfusion_tpu/core/platform.py).
+from syncfusion_tpu.core.platform import force_platform  # noqa: E402
+
+force_platform("cpu", n_virtual_devices=8)
 
 import jax  # noqa: E402
 
-# A sitecustomize pre-imports jax with the TPU platform before this file
-# runs; no backend exists yet, so re-pointing the config still works.
-jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # Suite wall time is dominated by XLA CPU compiles of per-test model

@@ -209,6 +209,45 @@ def test_fused_conv_stats_gradients(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fused_vjps_trace_under_bf16(rng):
+    """Regression: both custom VJPs must accept bf16 primals.
+
+    The backward recomputes through a reference whose y output is x.dtype;
+    a blanket f32 cotangent cast used to raise a dtype mismatch at the
+    first grad trace whenever the UNet ran bf16 (the advertised training
+    dtype)."""
+    from syncfusion_tpu.ops.fused_resblock import (
+        fused_affine_silu_conv,
+        fused_affine_silu_conv_stats,
+    )
+
+    b, c, groups, l = 1, 8, 4, 64
+    x = jnp.asarray(rng.normal(size=(b, l, c)), dtype=jnp.bfloat16)
+    scale = jnp.ones((b, c), jnp.float32)
+    shift = jnp.zeros((b, c), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, c, c)).astype(np.float32) * 0.2)
+    bias = jnp.zeros((c,), jnp.float32)
+
+    def f_plain(x):
+        y = fused_affine_silu_conv(x, scale, shift, w, bias,
+                                   block_l=32, interpret=True)
+        assert y.dtype == jnp.bfloat16
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def f_stats(x):
+        y, s, ss = fused_affine_silu_conv_stats(
+            x, scale, shift, w, bias, None, num_groups=groups,
+            block_l=32, interpret=True,
+        )
+        assert y.dtype == jnp.bfloat16
+        return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(s - ss) * 0.01
+
+    for f in (f_plain, f_stats):
+        g = jax.grad(f)(x)
+        assert g.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
 def test_stats_kernel_tpu_mosaic_lowering():
     """Cross-platform TPU lowering must pass Mosaic's block-shape checks.
 
