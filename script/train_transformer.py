@@ -107,6 +107,8 @@ def main(argv=None) -> None:
                                          save_last=True))
     if args.ckpt_path:
         state = Checkpointer(CheckpointConfig(directory=args.ckpt_path)).restore(state)
+        log.info("restored GPT train state from %s (step %d)",
+                 args.ckpt_path, int(state.step))
 
     d = cfg.data
     mk = lambda split, shift: CondGreatestHitsWaveCondOnImage(
