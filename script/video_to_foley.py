@@ -96,6 +96,10 @@ def main(argv=None) -> None:
     ap.add_argument("--text", default=None, help="text condition instead of audio")
     ap.add_argument("--output", default="foley.wav")
     ap.add_argument("--num_steps", type=int, default=150)
+    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
+                    help="ddim = reference VSampler semantics; dpm = "
+                         "DPM-Solver++(2M), holds quality at several-fold "
+                         "fewer --num_steps (models/diffusion.dpm_sample)")
     ap.add_argument("--embedding_scale", type=float, default=2.0)
     ap.add_argument("--guidance_interval", type=float, nargs=2, default=(0.2, 0.8),
                     metavar=("LO", "HI"),
@@ -162,7 +166,8 @@ def main(argv=None) -> None:
         lambda p, n: model.sample(p, n, jnp.asarray(onsets), jnp.asarray(embedding),
                                   guidance_interval=gi,
                                   num_steps=args.num_steps,
-                                  embedding_scale=args.embedding_scale)
+                                  embedding_scale=args.embedding_scale,
+                                  sampler=args.sampler)
     )(params, noise))[0, :, 0]
     write_wav(args.output, wav, SR)
     log.info("wrote %s (%.2f s @ %d Hz)", args.output, len(wav) / SR, SR)

@@ -57,6 +57,7 @@ def generate_dataset(
     length: int = 2**18,
     embedding_scale: float = 7.5,
     guidance_interval=None,
+    sampler: str = "ddim",
     cut_prefix: bool = False,
     cond_text: bool = False,
     one_chunk_per_track: bool = False,
@@ -77,6 +78,7 @@ def generate_dataset(
             num_steps=num_steps, embedding_scale=embedding_scale,
             guidance_interval=(tuple(guidance_interval)
                                if guidance_interval else None),
+            sampler=sampler,
         )
 
     root_key = jax.random.key(seed)

@@ -78,34 +78,22 @@ def guidance_band_mask(num_steps: int, lo: float, hi: float) -> list[bool]:
     ]
 
 
-def v_sample(
+def _make_nets(
     apply_fn: Callable[..., jax.Array],
     params: Any,
-    noise: jax.Array,
-    num_steps: int,
-    *,
-    context: Optional[Sequence[jax.Array]] = None,
-    embedding: Optional[jax.Array] = None,
-    embedding_scale: float = 1.0,
-    guidance_interval: Optional[tuple[float, float]] = None,
-) -> jax.Array:
-    """Deterministic v-sampler from pure noise ``(B, L, C)``.
+    context: Optional[Sequence[jax.Array]],
+    embedding: Optional[jax.Array],
+    embedding_scale: float,
+) -> tuple[Callable, Callable, bool]:
+    """Shared per-step net evaluators for the samplers.
 
-    With ``embedding_scale != 1`` the conditional and unconditional branches
-    are folded into a single forward of batch 2B (uncond branch passes
-    ``embedding=None`` → the net substitutes its fixed embedding).
-
-    ``guidance_interval=(lo, hi)`` applies CFG only at noise levels
-    ``lo <= sigma <= hi`` (sigma runs 1→0 over the trajectory); steps
-    outside the band run a single conditional forward at half the compute
-    (Kynkäänniemi et al. 2024, "Applying guidance in a limited interval",
-    arXiv:2404.07724 — guidance at the extreme noise levels is known to
-    cost compute without helping, and can actively hurt at high sigma).
-    The step schedule is static, so the trajectory splits into contiguous
-    `lax.scan` segments — no per-step branching in the compiled graph.
+    Returns ``(net_cfg, net_plain, use_cfg)``; ``net_cfg`` folds the
+    conditional and unconditional branches into ONE forward of batch 2B
+    (uncond half passes the CFG mask → the net substitutes its fixed
+    embedding) and combines with the reference plugin semantics
+    ``v = v_uncond + (v_cond − v_uncond)·scale``.
     """
     use_cfg = embedding is not None and embedding_scale != 1.0
-    sigmas = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
 
     def net_cfg(x, sigma_scalar):
         x2 = jnp.concatenate([x, x], axis=0)
@@ -132,6 +120,39 @@ def v_sample(
     def net_plain(x, sigma_scalar):
         sig = jnp.full((x.shape[0],), sigma_scalar, jnp.float32)
         return apply_fn(params, x, sig, context=context, embedding=embedding)
+
+    return net_cfg, net_plain, use_cfg
+
+
+def v_sample(
+    apply_fn: Callable[..., jax.Array],
+    params: Any,
+    noise: jax.Array,
+    num_steps: int,
+    *,
+    context: Optional[Sequence[jax.Array]] = None,
+    embedding: Optional[jax.Array] = None,
+    embedding_scale: float = 1.0,
+    guidance_interval: Optional[tuple[float, float]] = None,
+) -> jax.Array:
+    """Deterministic v-sampler from pure noise ``(B, L, C)``.
+
+    With ``embedding_scale != 1`` the conditional and unconditional branches
+    are folded into a single forward of batch 2B (uncond branch passes
+    ``embedding=None`` → the net substitutes its fixed embedding).
+
+    ``guidance_interval=(lo, hi)`` applies CFG only at noise levels
+    ``lo <= sigma <= hi`` (sigma runs 1→0 over the trajectory); steps
+    outside the band run a single conditional forward at half the compute
+    (Kynkäänniemi et al. 2024, "Applying guidance in a limited interval",
+    arXiv:2404.07724 — guidance at the extreme noise levels is known to
+    cost compute without helping, and can actively hurt at high sigma).
+    The step schedule is static, so the trajectory splits into contiguous
+    `lax.scan` segments — no per-step branching in the compiled graph.
+    """
+    net_cfg, net_plain, use_cfg = _make_nets(
+        apply_fn, params, context, embedding, embedding_scale)
+    sigmas = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
 
     def make_step(net):
         def step(x, i):
@@ -162,3 +183,106 @@ def v_sample(
     step = make_step(net_cfg if use_cfg else net_plain)
     x, _ = jax.lax.scan(step, noise, jnp.arange(num_steps))
     return x
+
+
+def _dpm_coefficients(num_steps: int):
+    """Static per-step DPM-Solver++(2M) coefficients for the trig schedule.
+
+    Precomputed host-side in float64 because the schedule's log-SNR
+    ``λ = log(α/β)`` is −∞ at σ=1 and +∞ at σ=0: the boundary limits are
+    exact constants (e^{-h}→0), so the first and last steps analytically
+    reduce to first order — no ±inf ever reaches the compiled graph.
+
+    Returns f32 arrays of shape (num_steps,): ``sig, a, b`` (state at the
+    step's START) and the update constants ``c2`` (second-order
+    extrapolation weight h_k/(2·h_{k-1}), zero where a neighbor h is
+    infinite and on the lower-order-final last step), ``rb`` (β ratio
+    β_{k+1}/β_k) and ``cD`` (= −α_{k+1}(e^{-h_k}−1)).
+    """
+    import numpy as np
+
+    sig = np.linspace(1.0, 0.0, num_steps + 1)
+    a = np.where(sig == 1.0, 0.0, np.cos(sig * np.pi / 2))  # cos(π/2)≈6e-17
+    b = np.sin(sig * np.pi / 2)                              # sin(0) is exact
+    with np.errstate(divide="ignore"):
+        lam = np.log(a) - np.log(b)         # −inf .. +inf, increasing
+    h = lam[1:] - lam[:-1]                   # h[0] = h[-1] = +inf
+    rb = b[1:] / b[:-1]                      # rb[-1] = 0
+    with np.errstate(over="ignore"):
+        eh = np.exp(-h)                      # exp(−inf) = 0 at both ends
+    cD = -a[1:] * (eh - 1.0)                 # cD[0] = α_1, cD[-1] = 1
+    c2 = np.zeros(num_steps)
+    for k in range(1, num_steps - 1):
+        if np.isfinite(h[k - 1]) and np.isfinite(h[k]):
+            c2[k] = h[k] / (2.0 * h[k - 1])
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return f32(sig[:-1]), f32(a[:-1]), f32(b[:-1]), f32(c2), f32(rb), f32(cD)
+
+
+def dpm_sample(
+    apply_fn: Callable[..., jax.Array],
+    params: Any,
+    noise: jax.Array,
+    num_steps: int,
+    *,
+    context: Optional[Sequence[jax.Array]] = None,
+    embedding: Optional[jax.Array] = None,
+    embedding_scale: float = 1.0,
+    guidance_interval: Optional[tuple[float, float]] = None,
+) -> jax.Array:
+    """DPM-Solver++(2M) sampler on the same v-diffusion ODE as `v_sample`.
+
+    Second-order multistep data-prediction solver (Lu et al. 2022,
+    arXiv:2211.01095): each step reuses the previous step's x0 prediction
+    to cancel the leading discretization error, so quality holds at ~2-4×
+    fewer net evaluations than the reference's DDIM-style `v_sample` —
+    same network, same CFG semantics, strictly a scheduler change (the
+    reference has no counterpart; its sampler is fixed at VSampler,
+    a-unet/audio-diffusion-pytorch 0.1.3).
+
+    Update (x0-parameterization, h = λ_{k+1} − λ_k):
+      D_k    = (1 + c2_k)·x0_k − c2_k·x0_{k-1}
+      x_{k+1} = (β_{k+1}/β_k)·x − α_{k+1}(e^{−h}−1)·D_k
+    with x0_k = α_k·x − β_k·v_θ(x, σ_k).  First/last steps are first-order
+    (the trig schedule's boundary λ = ±∞ makes that exact — see
+    `_dpm_coefficients`); with DPM++(1M) coefficients the update is
+    algebraically identical to the DDIM step, so the order-2 term is the
+    only difference.  Same `lax.scan` structure and guidance-interval
+    segmentation as `v_sample`; the x0 history threads through segment
+    boundaries in the carry.
+    """
+    net_cfg, net_plain, use_cfg = _make_nets(
+        apply_fn, params, context, embedding, embedding_scale)
+    sig, a, b, c2, rb, cD = _dpm_coefficients(num_steps)
+
+    def make_step(net):
+        def step(carry, coefs):
+            x, x0_prev = carry
+            sig_k, a_k, b_k, c2_k, rb_k, cD_k = coefs
+            v = net(x, sig_k)
+            x0 = a_k * x - b_k * v
+            d = (1.0 + c2_k) * x0 - c2_k * x0_prev
+            return (rb_k * x + cD_k * d, x0), None
+        return step
+
+    coefs = (sig, a, b, c2, rb, cD)
+    carry = (noise, jnp.zeros_like(noise))  # x0_prev unused while c2=0
+
+    if use_cfg and guidance_interval is not None:
+        lo, hi = guidance_interval
+        step_cfg, step_plain = make_step(net_cfg), make_step(net_plain)
+        in_band = guidance_band_mask(num_steps, lo, hi)
+        start = 0
+        while start < num_steps:
+            end = start
+            while end < num_steps and in_band[end] == in_band[start]:
+                end += 1
+            step = step_cfg if in_band[start] else step_plain
+            seg = tuple(c[start:end] for c in coefs)
+            carry, _ = jax.lax.scan(step, carry, seg)
+            start = end
+        return carry[0]
+
+    step = make_step(net_cfg if use_cfg else net_plain)
+    carry, _ = jax.lax.scan(step, carry, coefs)
+    return carry[0]

@@ -280,3 +280,98 @@ def test_guidance_band_mask_includes_exact_boundary_steps():
         # sigma = 1 - k/n in [0.2, 0.8]  <=>  k in [0.2n, 0.8n] inclusive.
         assert ks[0] == int(round(0.2 * n))
         assert ks[-1] == int(round(0.8 * n))
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++(2M) sampler (models/diffusion.dpm_sample)
+# ---------------------------------------------------------------------------
+
+def _gaussian_oracle_net(s):
+    """Exact v-net for Gaussian data x0 ~ N(0, s² I).
+
+    The probability-flow ODE for a Gaussian is linear, mapping initial
+    noise z exactly to s·z — giving a closed-form target to measure true
+    sampler discretization error against."""
+    def apply_fn(params, x, sigma, context=None, embedding=None, **kw):
+        a, b = alpha_beta(sigma.reshape((-1,) + (1,) * (x.ndim - 1)))
+        x0_hat = (a * s * s) / (a * a * s * s + b * b) * x
+        eps_hat = (x - a * x0_hat) / jnp.maximum(b, 1e-20)
+        return a * eps_hat - b * x0_hat
+    return apply_fn
+
+
+def test_dpm_is_higher_order_than_ddim():
+    """On the closed-form Gaussian ODE, DPM++(2M) error must shrink ~4× per
+    step-count doubling (2nd order) vs ~2× for the DDIM v_sampler, and be
+    several-fold smaller at equal steps."""
+    from syncfusion_tpu.models.diffusion import dpm_sample
+
+    apply_fn = _gaussian_oracle_net(0.35)
+    noise = jax.random.normal(jax.random.key(0), (2, 64, 1), jnp.float32)
+    exact = 0.35 * noise
+
+    def err(fn, n):
+        return float(jnp.abs(fn(apply_fn, {}, noise, n) - exact).max())
+
+    e_ddim16, e_ddim32 = err(v_sample, 16), err(v_sample, 32)
+    e_dpm16, e_dpm32 = err(dpm_sample, 16), err(dpm_sample, 32)
+    assert e_dpm16 < e_ddim16 / 3          # measured ~5.4× better
+    assert e_dpm32 < e_ddim32 / 5          # measured ~9.8× better
+    assert e_dpm16 / e_dpm32 > 3.0          # ~2nd-order convergence
+    assert e_ddim16 / e_ddim32 < 3.0        # 1st-order for contrast
+
+
+def test_dpm_coefficients_boundaries():
+    """First/last steps must be exactly first-order with finite constants
+    (the trig schedule's λ = ±∞ boundary limits)."""
+    from syncfusion_tpu.models.diffusion import _dpm_coefficients
+
+    n = 10
+    sig, a, b, c2, rb, cD = (np.asarray(v) for v in _dpm_coefficients(n))
+    assert np.isfinite(c2).all() and np.isfinite(rb).all() and np.isfinite(cD).all()
+    assert c2[0] == 0.0 and c2[1] == 0.0 and c2[-1] == 0.0
+    # first step: x1 = β1·x + α1·x0  (DDIM from pure noise)
+    a1, b1 = np.cos((1 - 1 / n) * np.pi / 2), np.sin((1 - 1 / n) * np.pi / 2)
+    np.testing.assert_allclose(rb[0], b1, rtol=1e-6)
+    np.testing.assert_allclose(cD[0], a1, rtol=1e-6)
+    # last step collapses to the extrapolated x0: x = 1·D
+    np.testing.assert_allclose(rb[-1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(cD[-1], 1.0, rtol=1e-6)
+
+
+def test_dpm_through_model_cfg_and_band(stack):
+    """dpm sampler through SyncFusionDiffusion.sample: jits, correct shape,
+    finite, and the guidance-interval segmentation produces a different
+    (but finite) result than full-band CFG."""
+    model, params = stack
+    noise = jax.random.normal(jax.random.key(11), (2, L, 1))
+    onsets = jnp.zeros((2, L, 1)).at[:, 50, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(12), (2, 1, 16))
+    full = jax.jit(lambda p, n: model.sample(
+        p, n, onsets, emb, num_steps=5, embedding_scale=2.0, sampler="dpm"
+    ))(params, noise)
+    band = jax.jit(lambda p, n: model.sample(
+        p, n, onsets, emb, num_steps=5, embedding_scale=2.0, sampler="dpm",
+        guidance_interval=(0.3, 0.7),
+    ))(params, noise)
+    assert full.shape == band.shape == (2, L, 1)
+    assert np.isfinite(np.asarray(full)).all()
+    assert np.isfinite(np.asarray(band)).all()
+    assert float(jnp.abs(full - band).max()) > 1e-7
+
+
+def test_dpm_folded_matches_unfolded():
+    """fold_cap execution must not change dpm sampling (same contract as
+    the ddim folded-equivalence tests in test_unet_folded.py)."""
+    base = SyncFusionDiffusion(unet=UNet1d(**UNET), onsets_encoder=Encoder1d(**ENC))
+    params = base.init(jax.random.key(0), L, batch=1)
+    folded = SyncFusionDiffusion(
+        unet=UNet1d(**UNET), onsets_encoder=Encoder1d(**ENC), fold_cap=64)
+    noise = jax.random.normal(jax.random.key(13), (1, L, 1))
+    onsets = jnp.zeros((1, L, 1)).at[:, 50, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(14), (1, 1, 16))
+    a = base.sample(params, noise, onsets, emb, num_steps=4,
+                    embedding_scale=2.0, sampler="dpm")
+    b = folded.sample(params, noise, onsets, emb, num_steps=4,
+                      embedding_scale=2.0, sampler="dpm")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
