@@ -41,6 +41,7 @@ class DataParallelSampler:
         per_chip_batch: int = 8,
         length: int = 2**18,
         guidance_interval=(0.2, 0.8),
+        sampler: str = "ddim",
     ):
         self.model = model
         self.mesh = mesh
@@ -55,7 +56,7 @@ class DataParallelSampler:
             lambda params, noise, onsets, emb: model.sample(
                 params, noise, onsets, emb,
                 num_steps=num_steps, embedding_scale=embedding_scale,
-                guidance_interval=guidance_interval,
+                guidance_interval=guidance_interval, sampler=sampler,
             ),
             in_shardings=(replicated, sharded, sharded, sharded),
             out_shardings=sharded,

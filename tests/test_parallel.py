@@ -47,6 +47,13 @@ def test_dp_sampler_runs_and_matches_single_device():
                        guidance_interval=(0.2, 0.8))
     np.testing.assert_allclose(out, np.asarray(ref)[:, :, 0], atol=2e-5)
 
+    # dpm sampler serves over the mesh too
+    dpm = DataParallelSampler(model, mesh, num_steps=2, embedding_scale=2.0,
+                              per_chip_batch=1, length=L, sampler="dpm")
+    out_dpm = dpm(params, onsets, emb, jax.random.key(3))
+    assert out_dpm.shape == (8, L) and np.isfinite(out_dpm).all()
+    assert float(np.abs(out_dpm - out).max()) > 1e-7  # genuinely different path
+
 
 def test_onset_syncbn_mesh_equivalence():
     """sync-BN under GSPMD: the BatchNorm batch statistics are computed over
