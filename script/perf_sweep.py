@@ -67,6 +67,17 @@ VARIANTS = {
                                 guidance_interval=(0.1, 0.7)),
     "folded256_b16_gi0107": dict(fold_cap=256, bf16_params=False, batch=16,
                                  guidance_interval=(0.1, 0.7)),
+    # DPM-Solver++(2M) serving points: second-order sampler holds quality at
+    # ~32 steps (rehearsal curve), so these rows are the real serving
+    # throughput — NOT comparable to the 150-step headline protocol rows.
+    "folded256_b8_ddim32": dict(fold_cap=256, bf16_params=False, batch=8,
+                                num_steps=32),
+    "folded256_b8_dpm32": dict(fold_cap=256, bf16_params=False, batch=8,
+                               num_steps=32, sampler="dpm"),
+    "folded256_b8_dpm32_s15_band": dict(fold_cap=256, bf16_params=False,
+                                        batch=8, num_steps=32, sampler="dpm",
+                                        embedding_scale=1.5,
+                                        guidance_interval=(0.2, 0.8)),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
@@ -120,7 +131,8 @@ def run_train(name: str, fold_cap: int, flash: bool = False) -> None:
 def run(name: str, fold_cap: int, bf16_params: bool = False,
         batch: int = BATCH, train: bool = False, flash: bool = False,
         fused_stats: bool = False, guidance_interval=None,
-        embedding_scale: float = 2.0) -> None:
+        embedding_scale: float = 2.0, num_steps: int = NUM_STEPS,
+        sampler: str = "ddim") -> None:
     if train:
         return run_train(name, fold_cap, flash)
     global BATCH
@@ -146,8 +158,8 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
     def generate(params, noise):
         return model.sample(
             params, noise, onsets, embedding,
-            num_steps=NUM_STEPS, embedding_scale=embedding_scale,
-            guidance_interval=guidance_interval,
+            num_steps=num_steps, embedding_scale=embedding_scale,
+            guidance_interval=guidance_interval, sampler=sampler,
         )
 
     t0 = time.perf_counter()
@@ -168,6 +180,8 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
             {
                 "variant": name,
                 "clips_per_min_per_chip": round(clips_per_min, 2),
+                "num_steps": num_steps,
+                "sampler": sampler,
                 "seconds_per_batch": round(dt, 3),
                 "compile_s": round(compile_s, 1),
                 "vs_baseline": round(clips_per_min / BASELINE, 3),
