@@ -1,2 +1,4 @@
-python script/evaluate_onset_baseline.py --gen_dir output/condfoleygen --gt_root data/greatest-hits/mic-mp4-processed \
+exec python script/evaluate_onset_baseline.py \
+  --gen_dir output/condfoleygen/generated_video \
+  --tar_dir output/condfoleygen/orig_video \
 "$@"

@@ -1,2 +1,2 @@
-python script/evaluate_onset.py --gen_dir ./output/experiments/gh-gen-pred --tar_dir ./output/experiments/gh-gt-pred \
+exec python script/evaluate_onset.py --gen_dir ./output/experiments/gh-gen-pred --tar_dir ./output/experiments/gh-gt-pred \
 "$@"

@@ -9,6 +9,12 @@
 Pipeline per item (p_outside_cond=1.0 — cond video ≠ ref video): frames →
 R(2+1)D features, cond audio → mel → VQ tokens, autoregressive GPT sampling
 (top n_e/2 multinomial), decode tokens → mel → MelGAN (or Griffin-Lim) → wav.
+
+Writes the full reference artifact set (audio_generation_scripts.py:375-472):
+``generated_audio/{ref}_to_{cond}_{i}.wav``, orig/cond VQ-reconstruction wavs,
+three muxed videos (``generated_video/``, ``orig_video/``, ``cond_video/``)
+and a spectrogram ``.jpg`` next to each video.  ``--audio_only`` skips
+everything but the generated wavs.
 """
 
 from __future__ import annotations
@@ -66,6 +72,16 @@ def main(argv=None) -> None:
     ap.add_argument("--vgg19_ckpt", default=None,
                     help="torchvision vgg19 state_dict (.pt) for --style_transfer")
     ap.add_argument("--style_steps", type=int, default=300)
+    ap.add_argument(
+        "--orig_videos_dir", default=None,
+        help="folder of original unprocessed videos to mux output videos from "
+        "(reference audio_generation.py:31); when absent the videos are "
+        "rebuilt from the processed frames")
+    ap.add_argument("--orig_videos_suffix", default="_mic.mp4")
+    ap.add_argument(
+        "--audio_only", action="store_true",
+        help="write only generated_audio/*.wav (skip the muxed videos, "
+        "orig/cond reconstructions and spectrogram jpgs)")
     args = ap.parse_args(argv)
 
     cfg = Config.wrap(yaml_load(open(args.config)))
@@ -160,18 +176,108 @@ def main(argv=None) -> None:
             spec01 = np.asarray(
                 sample_batch(params, cond_spec, jnp.asarray(batch["feature"]), sub)
             )
-        if vocoder is not None:
-            wavs = vocoder(spec01)
-        else:  # Griffin-Lim through the exact inverse scaling chain
+        def decode(s01):
+            if vocoder is not None:
+                return vocoder(s01)
+            # Griffin-Lim through the exact inverse scaling chain
             from syncfusion_tpu.ops.mel import mel01_to_waveform_gl
 
-            wavs = np.asarray(mel01_to_waveform_gl(jnp.asarray(spec01), 22050))
+            return np.asarray(mel01_to_waveform_gl(jnp.asarray(s01), 22050))
+
+        wavs = decode(spec01)
+        if args.audio_only:
+            orig_wavs = cond_wavs = orig01 = cond01 = None
+        else:
+            # orig/cond VQ reconstructions — the reference decodes xrec/xprec
+            # through the same vocoder and saves them alongside the generation
+            # (audio_generation_scripts.py:341-359,423-455)
+            if args.style_transfer:
+                orig01, cond01 = ref_rec, cond_rec
+            else:
+                orig01 = np.asarray(
+                    recon01(params, to_spec(jnp.asarray(batch["image"]))))
+                cond01 = np.asarray(recon01(params, cond_spec))
+            orig_wavs = decode(orig01)
+            cond_wavs = decode(cond01)
+
+        chunk_s = float(d.get("chunk_length_in_seconds", 2.0)) * args.W_scale
+        n_samp = int(22050 * chunk_s)
         for i in range(wavs.shape[0]):
+            # reference naming {ref}_to_{cond} — the eval protocol splits on
+            # "_to_" and matches parts[0] against the target videos
+            # (script/evaluate_onset_baseline.py:177-183); a _{idx} suffix on
+            # the cond half keeps repeat pairs unique without breaking it.
             name = Path(batch["file_path_wav_"][i]).name
             cname = Path(batch["file_path_cond_wav_"][i]).name
-            write_wav(out / f"{cname}_to_{name}_{idx}.wav", wavs[i], 22050)
+            pair = f"{name}_to_{cname}_{idx}"
+            gen_wav_path = out / "generated_audio" / f"{pair}.wav"
+            gen_wav_path.parent.mkdir(parents=True, exist_ok=True)
+            write_wav(gen_wav_path, wavs[i][:n_samp], 22050)
+            if not args.audio_only:
+                _write_item_artifacts(
+                    args, out, ds, batch, i, pair, name, cname,
+                    gen_wav_path, orig_wavs[i][:n_samp], cond_wavs[i][:n_samp],
+                    spec01[i], orig01[i], cond01[i], chunk_s,
+                )
             idx += 1
         log.info("generated %d clips", idx)
+
+
+def _write_item_artifacts(args, out, ds, batch, i, pair, name, cname,
+                          gen_wav_path, orig_wav, cond_wav,
+                          gen01, orig01, cond01, chunk_s):
+    """Full reference artifact set per item (audio_generation_scripts.py:
+    375-472): orig/cond reconstruction wavs, three muxed videos
+    (generated/orig/cond), and spectrogram jpgs next to each video."""
+    from syncfusion_tpu.eval.mux import attach_audio_to_frames, attach_audio_to_video
+
+    fps = float(ds.frame_rate)
+    n_frames = int(round(chunk_s * fps))
+    orig_wav_path = out / "orig_audio" / f"{name}.wav"
+    cond_wav_path = out / "cond_audio" / f"{cname}.wav"
+    orig_wav_path.parent.mkdir(parents=True, exist_ok=True)
+    cond_wav_path.parent.mkdir(parents=True, exist_ok=True)
+    write_wav(orig_wav_path, orig_wav, 22050)
+    write_wav(cond_wav_path, cond_wav, 22050)
+
+    for vdir, vname, start_f, wav_path, src in (
+        ("generated_video", pair, batch["start_frame_"][i], gen_wav_path, name),
+        ("orig_video", name, batch["start_frame_"][i], orig_wav_path, name),
+        ("cond_video", cname, batch["cond_start_frame_"][i], cond_wav_path, cname),
+    ):
+        dest = out / vdir / f"{vname}.mp4"
+        if args.orig_videos_dir:  # trim the real source video (needs ffmpeg)
+            attach_audio_to_video(
+                Path(args.orig_videos_dir) / f"{src}{args.orig_videos_suffix}",
+                wav_path, dest, fps=fps,
+                video_start_in_seconds=start_f / fps,
+                video_duration_in_seconds=chunk_s,
+            )
+        else:  # rebuild from processed frames via the native BMFF muxer
+            attach_audio_to_frames(
+                Path(ds.root) / src / "frames", f"{src}.frame_%06d.jpg",
+                wav_path, dest, fps=fps, start_frame=int(start_f),
+                n_frames=n_frames,
+            )
+
+    # spectrogram jpgs next to each video (reference draw_spec / plt.imshow
+    # coolwarm origin-lower, audio_generation_scripts.py:457-472)
+    _draw_spec(gen01, out / "generated_video" / f"{pair}.jpg")
+    _draw_spec(orig01, out / "orig_video" / f"{name}.jpg")
+    _draw_spec(cond01, out / "cond_video" / f"{cname}.jpg")
+
+
+def _draw_spec(spec, dest, cmap="coolwarm"):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    plt.imshow(np.asarray(spec), cmap=cmap, origin="lower")
+    plt.axis("off")
+    plt.savefig(dest, bbox_inches="tight", pad_inches=0.0)
+    plt.close()
 
 
 if __name__ == "__main__":

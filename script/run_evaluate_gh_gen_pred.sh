@@ -1,5 +1,5 @@
 # FAD for diffusion with audio conditioning + GT onsets
-python script/evaluate_diffusion.py \
+exec python script/evaluate_diffusion.py \
 exp=evaluate_gh_gen_pred \
 experiment_path=./output/experiments/gh-gen-pred \
 evaluation.gt_dir=./output/experiments/gh-gt-pred \

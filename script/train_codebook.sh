@@ -1,2 +1,2 @@
-python script/train_codebook.py -c cfg/condfoleygen/greatesthit_codebook.yaml \
+exec python script/train_codebook.py -c cfg/condfoleygen/greatesthit_codebook.yaml \
 "$@"

@@ -1,4 +1,4 @@
-python script/train_diffusion_model.py \
+exec python script/train_diffusion_model.py \
 exp=train_diffusion_gh \
 model.embedder_checkpoint="checkpoints/630k-audioset-best.pt" \
 datamodule.batch_size=2 \

@@ -1,4 +1,4 @@
 # usage: sh script/train_transformer.sh VQ_CKPT_DIR
 vq=${1:?codebook ckpt dir}; shift
-python script/train_transformer.py -c cfg/condfoleygen/greatesthit_transformer.yaml --vq_ckpt "$vq" \
+exec python script/train_transformer.py -c cfg/condfoleygen/greatesthit_transformer.yaml --vq_ckpt "$vq" \
 "$@"

@@ -161,6 +161,11 @@ class CondGreatestHitsWaveCondOnImage(GreatestHitsWaveDataset):
             "feature": np.concatenate([cond_frames, frames], axis=0),
             "file_path_wav_": str(self.root / sample),
             "file_path_cond_wav_": str(self.root / cond_sample),
+            # chunk start frames (reference file_path_feats_[1] /
+            # file_path_cond_feats_[1], dataset_greatesthits.py): the
+            # generation driver muxes output videos from these offsets.
+            "start_frame_": int(start * self.frame_rate),
+            "cond_start_frame_": int(cond_start * self.frame_rate),
         }
 
 

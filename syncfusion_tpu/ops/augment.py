@@ -98,3 +98,103 @@ def random_audio_augment(
     y = normalize_audio(y)
     steps = float(rng.uniform(-max_semitones, max_semitones))
     return pitch_shift(y, sr, steps)
+
+
+# --------------------------------------------------------------------------
+# On-device frame ColorJitter (jax) — the onset augment recipe's hot path
+# --------------------------------------------------------------------------
+# The reference applies torchvision ColorJitter per 30-frame chunk on the
+# host (cfg/data/data-onset-greatesthit-augment.yaml:8-52, hot loop
+# main/dataset_onset.py:152-165).  Host numpy jitter measured ~5 s/step at
+# bs 16 (docs/REHEARSAL.md §3b) — 30× the 164 ms step compute — so the
+# jitter runs INSIDE the jitted train step instead: the host ships cropped
+# uint8 frames and the device draws per-sample factors AND per-sample op
+# order (torchvision semantics: one draw per chunk, random op order).
+
+def _jadjust_brightness(x, f):
+    import jax.numpy as jnp
+
+    return jnp.clip(x * f, 0.0, 1.0)
+
+
+def _jadjust_contrast(x, f):
+    import jax.numpy as jnp
+
+    lum = x @ jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    gray = lum.mean(axis=(-2, -1), keepdims=True)[..., None]
+    return jnp.clip(f * x + (1.0 - f) * gray, 0.0, 1.0)
+
+
+def _jadjust_saturation(x, f):
+    import jax.numpy as jnp
+
+    gray = x @ jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.clip(f * x + (1.0 - f) * gray[..., None], 0.0, 1.0)
+
+
+def _jadjust_hue(x, f):
+    """Hue rotation by ``f`` ∈ [-0.5, 0.5] of the circle — jax port of the
+    host transforms.adjust_hue (rgb→hsv→rotate→rgb)."""
+    import jax.numpy as jnp
+
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc, minc = x.max(-1), x.min(-1)
+    v = maxc
+    deltac = maxc - minc
+    s = jnp.where(maxc > 0, deltac / jnp.maximum(maxc, 1e-8), 0.0)
+    dc = jnp.maximum(deltac, 1e-8)
+    rc, gc, bc = (maxc - r) / dc, (maxc - g) / dc, (maxc - b) / dc
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(deltac == 0, 0.0, h)
+    h = (h + f) % 1.0
+    i = jnp.floor(h * 6.0)
+    frac = h * 6.0 - i
+    p, q, t_ = v * (1 - s), v * (1 - s * frac), v * (1 - s * (1 - frac))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == k for k in range(6)], [v, q, p, p, t_, v])
+    g2 = jnp.select([i == k for k in range(6)], [t_, v, v, q, p, p])
+    b2 = jnp.select([i == k for k in range(6)], [p, p, t_, v, v, q])
+    return jnp.stack([r2, g2, b2], axis=-1).astype(x.dtype)
+
+
+def color_jitter_device(frames, key, brightness: float = 0.4,
+                        contrast: float = 0.2, saturation: float = 0.4,
+                        hue: float = 0.1):
+    """Batched on-device ColorJitter: ``frames`` (B, ..., 3) float in [0,1].
+
+    Per-sample uniform factors and per-sample op ORDER (a length-4
+    permutation applied as 4 `lax.switch` steps — under vmap each step
+    evaluates the 4 candidate ops and selects, 16 cheap elementwise passes
+    total, negligible next to the R(2+1)D stack).  Zero-strength ops draw
+    identity factors, keeping the compiled structure static.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = frames.shape[0]
+    kb, kc, ks, kh, kp = jax.random.split(key, 5)
+    u = lambda k, lo, hi: jax.random.uniform(k, (n,), minval=lo, maxval=hi)
+    fb = u(kb, max(0.0, 1 - brightness), 1 + brightness) if brightness > 0 \
+        else jnp.ones((n,))
+    fc = u(kc, max(0.0, 1 - contrast), 1 + contrast) if contrast > 0 \
+        else jnp.ones((n,))
+    fs = u(ks, max(0.0, 1 - saturation), 1 + saturation) if saturation > 0 \
+        else jnp.ones((n,))
+    fh = u(kh, -hue, hue) if hue > 0 else jnp.zeros((n,))
+    perms = jax.vmap(lambda k: jax.random.permutation(k, 4))(
+        jax.random.split(kp, n))
+
+    def one(x, fb, fc, fs, fh, perm):
+        branches = [
+            lambda x: _jadjust_brightness(x, fb),
+            lambda x: _jadjust_contrast(x, fc),
+            lambda x: _jadjust_saturation(x, fs),
+            lambda x: _jadjust_hue(x, fh),
+        ]
+        for step in range(4):
+            x = jax.lax.switch(perm[step], branches, x)
+        return x
+
+    return jax.vmap(one)(frames, fb, fc, fs, fh, perms)

@@ -185,6 +185,66 @@ def test_mux_roundtrip(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+def test_native_mp4_roundtrip(tmp_path):
+    """Native BMFF muxer (eval/mp4.py): JPEG frames + PCM audio in, audio
+    track (and, via an independent demuxer stack if present, the video
+    track) back out — the no-ffmpeg path for the reference's mp4 artifact
+    protocol (audio_generation_utils.py:61-92)."""
+    import io
+
+    from PIL import Image
+
+    from syncfusion_tpu.eval.mp4 import jpeg_size, read_mp4_audio, write_mp4
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for _ in range(10):
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3), np.uint8)).save(
+            buf, "JPEG")
+        frames.append(buf.getvalue())
+    assert jpeg_size(frames[0]) == (32, 24)
+    audio = rng.normal(size=22050).astype(np.float32) * 0.1
+
+    dest = write_mp4(tmp_path / "clip.mp4", frames, 5.0, audio, 22050)
+    wav, sr = read_mp4_audio(dest)
+    assert sr == 22050 and wav.shape == audio.shape
+    assert np.abs(wav - audio).max() < 1.0 / 32768 + 1e-6  # s16 quantization
+
+    try:  # cross-check with OpenCV's (ffmpeg-based) demuxer when available
+        import cv2
+    except ImportError:
+        return
+    cap = cv2.VideoCapture(str(dest))
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+    assert cap.get(cv2.CAP_PROP_FPS) == 5.0
+    ok, frame = cap.read()
+    assert ok and frame.shape == (24, 32, 3)
+
+
+def test_extract_video_audio_native(tmp_path):
+    """extract_video_audio prefers the native demuxer and resamples
+    (reference moviepy extraction, evaluate_onset_baseline.py:17-27)."""
+    import io
+
+    from PIL import Image
+
+    from syncfusion_tpu.eval.mp4 import write_mp4
+    from syncfusion_tpu.eval.mux import extract_video_audio
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, "JPEG")
+    t = np.arange(8000, dtype=np.float32) / 8000
+    audio = np.sin(2 * np.pi * 440 * t).astype(np.float32) * 0.5
+    dest = write_mp4(tmp_path / "c.mp4", [buf.getvalue()], 1.0, audio, 8000)
+
+    wav = extract_video_audio(dest, sample_rate=22050)
+    assert abs(wav.shape[0] - 22050) <= 2
+    # energy preserved through resample (it's a pure tone well below Nyquist)
+    assert abs(np.std(wav) - np.std(audio)) < 0.02
+
+
 def test_concat_annotations_zero_onset_chunk(tmp_path):
     """A chunk with no onsets writes an empty CSV; merging must handle it
     silently (VERDICT r2 weak #8 — loadtxt used to warn through it)."""

@@ -344,6 +344,22 @@ def test_train_transformer_cli_media(tmp_path):
     assert list(media.glob("val_samples_nopix_*_step*.wav"))
 
 
+def test_run_parity_dry_run(tmp_path, capsys):
+    """The weights-available runbook must gate cleanly on missing files:
+    every gate SKIPPED with the exact missing paths, one JSON verdict,
+    exit ok (nothing failed — nothing ran)."""
+    import run_parity
+
+    rc = run_parity.main(["--ckpt_dir", str(tmp_path / "empty")])
+    out = capsys.readouterr().out
+    verdict = json.loads(out.strip().splitlines()[-1])
+    assert rc == 0 and verdict["ok"]
+    assert verdict["summary"]["SKIPPED"] == len(run_parity.GATES)
+    assert verdict["summary"]["FAIL"] == 0 and verdict["summary"]["ERROR"] == 0
+    for name, res in verdict["gates"].items():
+        assert res["status"] == "SKIPPED" and res["missing"], name
+
+
 def test_generate_audio_cli_sampling_and_style_transfer(tmp_path):
     gh = _make_gh_root(tmp_path / "gh")
     cfg = _tiny_baseline_cfg(tmp_path, gh)
@@ -355,16 +371,57 @@ def test_generate_audio_cli_sampling_and_style_transfer(tmp_path):
         "--gh_testset", "-c", str(cfg), "--output_dir", str(out1),
         "--batch_size", "2", "--top_k", "16",
     ])
-    wavs = list(out1.glob("*.wav"))
+    # full reference artifact set (audio_generation_scripts.py:375-472):
+    # gen wav, orig/cond reconstruction wavs, three muxed mp4s, three jpgs
+    wavs = list((out1 / "generated_audio").glob("*_to_*.wav"))
     assert len(wavs) >= 2
     from syncfusion_tpu.ops.wav import read_wav
 
     w, sr = read_wav(wavs[0])
     assert sr == 22050 and np.isfinite(w).all()
+    pair = wavs[0].stem
+    ref, rest = pair.split("_to_")
+    cond = rest.rsplit("_", 1)[0]
+    assert (out1 / "generated_video" / f"{pair}.mp4").exists()
+    assert (out1 / "generated_video" / f"{pair}.jpg").exists()
+    assert (out1 / "orig_audio" / f"{ref}.wav").exists()
+    assert (out1 / "orig_video" / f"{ref}.mp4").exists()
+    assert (out1 / "orig_video" / f"{ref}.jpg").exists()
+    assert (out1 / "cond_audio" / f"{cond}.wav").exists()
+    assert (out1 / "cond_video" / f"{cond}.mp4").exists()
+    assert (out1 / "cond_video" / f"{cond}.jpg").exists()
+    # the muxed video's audio track round-trips through the native demuxer
+    from syncfusion_tpu.eval.mp4 import read_mp4_audio
+
+    vwav, vsr = read_mp4_audio(out1 / "generated_video" / f"{pair}.mp4")
+    assert vsr == 22050 and np.isfinite(vwav).all()
+    # the mp4's PCM track is s16 and therefore clipped to [-1, 1); the wav
+    # is f32 (random-weight Griffin-Lim can exceed full scale)
+    ref = np.clip(w.mean(axis=0), -1.0, 1.0 - 1.0 / 32768)
+    assert np.abs(vwav[: ref.shape[-1]] - ref).max() < 1e-3
+
+    # mp4-protocol baseline eval (reference evaluate_onset_baseline.py:17-60:
+    # audio extracted straight from the videos, {A}_to_{B} matched vs {A}.mp4)
+    import evaluate_onset_baseline
+
+    import json as _json
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        evaluate_onset_baseline.main([
+            "--gen_dir", str(out1 / "generated_video"),
+            "--tar_dir", str(out1 / "orig_video"),
+            "--multi_delta", "--delta", "0.15",
+        ])
+    metrics = _json.loads(buf.getvalue())
+    assert metrics["num_files"] >= 2
+    assert 0.0 <= metrics["detection_acc"] <= 1.0
 
     out2 = tmp_path / "gen_style"
     generate_audio.main([
         "--gh_testset", "-c", str(cfg), "--output_dir", str(out2),
         "--batch_size", "2", "--style_transfer", "--style_steps", "5",
+        "--audio_only",
     ])
-    assert len(list(out2.glob("*.wav"))) >= 2
+    assert len(list((out2 / "generated_audio").glob("*.wav"))) >= 2
