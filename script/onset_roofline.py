@@ -49,7 +49,7 @@ def analyze(dtype_name: str, batch: int, measure: bool) -> dict:
     }
 
     step_fn = jax.jit(trainer._train_step, donate_argnums=(0,))
-    lowered = step_fn.lower(state, batch_data)
+    lowered = step_fn.lower(state, batch_data, np.uint32(0))
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -64,13 +64,13 @@ def analyze(dtype_name: str, batch: int, measure: bool) -> dict:
     }
 
     if measure:
-        st, metrics, _ = step_fn(state, batch_data)
+        st, metrics, _ = step_fn(state, batch_data, np.uint32(0))
         # donate: rebind every call (CLAUDE.md); sync by pulling a scalar
         float(metrics["loss/train"])
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
-            st, metrics, _ = step_fn(st, batch_data)
+            st, metrics, _ = step_fn(st, batch_data, np.uint32(0))
             float(metrics["loss/train"])
             times.append(time.perf_counter() - t0)
         times.sort()

@@ -69,9 +69,13 @@ def make_dataset(cfg, split: str, augment_override=None) -> GreatestHitsDataset:
         chunk_length_in_seconds=d.get("chunk_length_in_seconds", 2.0),
         # uint8 wire format: 4x less H2D per clip batch; the trainer
         # normalizes on device (OnsetTrainer._prep_frames).
+        # device_jitter: ColorJitter runs inside the jitted train step
+        # (host jitter measured ~5 s/step at bs 16 vs 164 ms step compute —
+        # the augment recipe was host-bound); the cheap RandomCrop stays
+        # host-side so the wire stays at crop size.
         frames_transforms=FrameTransform(
             augment=augment, size=size, resize_to=round(size * 128 / 112),
-            wire_uint8=True,
+            wire_uint8=True, device_jitter=d.get("device_jitter", True),
         ),
         data_to_use=d.get(f"{split}_data_to_use", 1.0),
         # epochs ≥2 skip the JPEG decode hot loop (~0.4 s/item measured);
@@ -138,6 +142,11 @@ def main(argv=None) -> None:
         jnp.bfloat16 if str(cfg.model.get("precision", 32)) == "bf16"
         else jnp.float32
     )
+    d = cfg.data
+    train_tf = FrameTransform(augment=d.get("augment", False))
+    use_device_jitter = (d.get("augment", False)
+                         and d.get("device_jitter", True)
+                         and args.subcommand == "fit")
     trainer = OnsetTrainer(
         model=VideoOnsetNet(layers=tuple(cfg.model.get("layers", (2, 2, 2, 2))),
                             dtype=dtype),
@@ -148,6 +157,7 @@ def main(argv=None) -> None:
             gradient_clip_val=1e9, accumulate_grad_batches=1,
         ),
         mesh=mesh,
+        jitter=train_tf.jitter_params if use_device_jitter else None,
     )
     frame_size = cfg.data.get("frame_size", 112)
     n_frames = int(cfg.data.get("chunk_length_in_seconds", 2.0) * cfg.data.get("fps", 15))
@@ -190,6 +200,7 @@ def main(argv=None) -> None:
     val_ds = make_dataset(cfg, "val", augment_override=False)
     train_ds.print()
     step = 0
+    step_rng = np.random.default_rng(cfg.trainer.get("seed", 12345) + 1)
     from syncfusion_tpu.data.prefetch import device_prefetch
 
     for epoch in range(cfg.trainer.get("max_epochs", 100)):
@@ -204,7 +215,10 @@ def main(argv=None) -> None:
             transform=lambda b: {"frames": b["frames"], "label": b["label"]},
         )
         for b in stream:
-            state, metrics, logits = trainer.train_step(state, b)
+            # per-step uint32 seed for the on-device augment; key built
+            # in-jit (ensure_key) — zero eager device ops in the loop
+            state, metrics, logits = trainer.train_step(
+                state, b, np.uint32(step_rng.integers(2**32)))
             step += 1
             if step % cfg.trainer.get("log_every_n_steps", 10) == 0:
                 host_metrics = onset_metrics(np.asarray(logits),

@@ -157,6 +157,13 @@ class FrameTransform:
     # Quantization error is ≤ 0.5/255 per pixel — below the source video's
     # own 8-bit precision.
     wire_uint8: bool = False
+    # device_jitter: leave ColorJitter to the trainer's jitted step
+    # (ops/augment.color_jitter_device).  The host numpy jitter measured
+    # ~5 s/step at bs 16 — 30× the 164 ms step compute (docs/REHEARSAL.md
+    # §3b) — while the device version is 16 fused elementwise passes.  The
+    # cheap RandomCrop stays host-side (a uint8 slice), keeping the wire at
+    # crop size.
+    device_jitter: bool = False
 
     def resize_stage(self, frames: np.ndarray) -> np.ndarray:
         """Deterministic prefix (Resize) — cacheable across epochs."""
@@ -170,12 +177,19 @@ class FrameTransform:
         if self.augment:
             rng = rng if rng is not None else np.random.default_rng()
             frames = random_crop(frames, self.size, rng)
-            frames = color_jitter(
-                frames, rng, self.brightness, self.contrast, self.saturation, self.hue
-            )
+            if not self.device_jitter:
+                frames = color_jitter(
+                    frames, rng,
+                    self.brightness, self.contrast, self.saturation, self.hue,
+                )
         if self.wire_uint8:
             return (frames * 255.0 + 0.5).astype(np.uint8)
         return normalize(frames)
+
+    @property
+    def jitter_params(self) -> tuple[float, float, float, float]:
+        """(brightness, contrast, saturation, hue) for the device jitter."""
+        return (self.brightness, self.contrast, self.saturation, self.hue)
 
     def __call__(self, frames: np.ndarray, rng: Optional[np.random.Generator] = None):
         return self.finish(self.resize_stage(frames), rng)

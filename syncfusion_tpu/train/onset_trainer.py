@@ -107,19 +107,26 @@ class OnsetTrainer:
         model: Optional[VideoOnsetNet] = None,
         opt_cfg: Optional[OptimizerConfig] = None,
         mesh: Optional[Mesh] = None,
+        jitter: Optional[tuple] = None,
     ):
+        """``jitter=(brightness, contrast, saturation, hue)`` enables the
+        on-device ColorJitter augment inside the jitted train step (the
+        reference's host-side torchvision jitter was the augment recipe's
+        throughput killer — cfg/data/data-onset-greatesthit-augment.yaml,
+        hot loop main/dataset_onset.py:152-165; docs/REHEARSAL.md §3b)."""
         self.model = model or VideoOnsetNet()
         self.opt_cfg = opt_cfg or OptimizerConfig(
             lr_beta1=0.9, gradient_clip_val=1e9, accumulate_grad_batches=1
         )
         self.tx = make_optimizer(self.opt_cfg)
+        self.jitter = tuple(jitter) if jitter else None
 
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
             sharded = NamedSharding(mesh, P(DATA_AXIS))
             self.train_step = jax.jit(
                 self._train_step,
-                in_shardings=(replicated, sharded),
+                in_shardings=(replicated, sharded, replicated),
                 out_shardings=(replicated, replicated, replicated),
                 donate_argnums=(0,),
             )
@@ -160,19 +167,38 @@ class OnsetTrainer:
         f = frames.astype(jnp.float32) / 255.0
         return (f - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
-    def _loss(self, params, batch_stats, batch):
+    def _train_frames(self, frames: jax.Array, key) -> jax.Array:
+        """Train-time frame prep: uint8 → [0,1] float, on-device ColorJitter
+        (when configured), ImageNet normalize — all inside the jitted step."""
+        if self.jitter is None:
+            return self._prep_frames(frames)
+        from syncfusion_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from syncfusion_tpu.ops.augment import color_jitter_device
+
+        f = frames.astype(jnp.float32) / 255.0 if frames.dtype == jnp.uint8 \
+            else frames
+        f = color_jitter_device(f, key, *self.jitter)
+        return (f - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    def _loss(self, params, batch_stats, batch, key):
         logits, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
-            self._prep_frames(batch["frames"]),
+            self._train_frames(batch["frames"], key),
             train=True,
             mutable=["batch_stats"],
         )
         return bc_loss(logits, batch["label"]), (logits, mutated["batch_stats"])
 
-    def _train_step(self, state: OnsetTrainState, batch: dict):
+    def _train_step(self, state: OnsetTrainState, batch: dict, seed):
+        """``seed``: uint32 scalar (or typed key) for the on-device augment;
+        the key is built in-jit (ensure_key) like the other trainers —
+        zero eager device ops per step."""
+        from syncfusion_tpu.train.diffusion_trainer import ensure_key
+
+        key = ensure_key(seed)
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             self._loss, has_aux=True
-        )(state.params, state.batch_stats, batch)
+        )(state.params, state.batch_stats, batch, key)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = OnsetTrainState(

@@ -77,7 +77,7 @@ def test_onset_syncbn_mesh_equivalence():
         mesh = create_mesh(MeshSpec(data=n, model=1), devices=jax.devices()[:n])
         trainer = OnsetTrainer(VideoOnsetNet(layers=(1, 1, 1, 1)), mesh=mesh)
         state = trainer.init(jax.random.key(0), frames_shape=(1, 4, 32, 32, 3))
-        state, metrics, logits = trainer.train_step(state, batch)
+        state, metrics, logits = trainer.train_step(state, batch, np.uint32(0))
         results[n] = (
             jax.tree.map(np.asarray, state.batch_stats),
             float(metrics["loss/train"]),
