@@ -69,6 +69,5 @@ run stage4b_eval_baseline 1800 sh script/evaluate_onset_baseline.sh --multi_delt
 # artifact inventory for the rehearsal doc
 find output/condfoleygen -type f | sed 's|.*/output/|output/|' | \
   awk -F/ '{print $2"/"$3}' | sort | uniq -c > rehearsal/stage4b_artifacts.txt 2>/dev/null
-find output/condfoleygen -type d > /dev/null 2>&1
 
 echo "STAGES20 DONE $(date -u)"

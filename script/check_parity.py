@@ -39,8 +39,19 @@ def check_onset(reference_dir: str, ckpt: str | None, tol: float) -> float:
     if ckpt:
         blob = torch.load(ckpt, map_location="cpu", weights_only=False)
         sd = blob.get("state_dict", blob)
-        ref.load_state_dict({k.replace("model.", "", 1) if k.startswith("model.net") else k: v
-                             for k, v in sd.items()}, strict=False)
+        remapped = {k.replace("model.", "", 1) if k.startswith("model.net") else k: v
+                    for k, v in sd.items()}
+        matched = set(remapped) & set(ref.state_dict())
+        # strict=False must not become a silent no-op load: a ckpt whose keys
+        # don't map onto the reference module (wrong file, wrong layout)
+        # would otherwise "pass" the gate against random init
+        assert matched, (
+            f"--ckpt {ckpt}: ZERO keys matched the reference VideoOnsetNet "
+            f"(first ckpt keys: {sorted(remapped)[:3]})"
+        )
+        ref.load_state_dict(remapped, strict=False)
+        print(f"check_onset: loaded {len(matched)}/{len(ref.state_dict())} "
+              f"reference keys from {ckpt}")
     ref.eval()
 
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()

@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 from syncfusion_tpu.eval.onset_detect import SR, onset_detect
-from syncfusion_tpu.eval.onset_metrics import match_onsets
+from syncfusion_tpu.eval.onset_metrics import score_onset_pairs
 from syncfusion_tpu.ops.resample import resample
 from syncfusion_tpu.ops.wav import read_wav
 
@@ -112,10 +112,8 @@ def main(argv=None) -> None:
 
     deltas = (list(np.arange(0.1, args.delta + 0.05, 0.05))
               if args.multi_delta else [args.delta])
-    from sklearn.metrics import average_precision_score
 
-    accs, aps, matches = [], [], []
-    n = 0
+    # detect onsets ONCE per file (only the matching depends on delta)
     pairs = []
     for stem, gen in _gen_items(Path(args.gen_dir), args.duration):
         split = _split_pair(stem)
@@ -124,40 +122,22 @@ def main(argv=None) -> None:
         gt = target_audio(split[0])
         if gt is None:
             continue
-        pairs.append((gen, gt))
-        n += 1
+        gen_onsets = onset_detect(gen, SR, delta=0.3)
+        gt_onsets = onset_detect(gt, SR, delta=0.3)
+        if args.remove_head is not None:
+            head = args.remove_head * SR
+            gen_onsets = gen_onsets[gen_onsets >= head]
+            gt_onsets = gt_onsets[gt_onsets >= head]
+        pairs.append((gen, gen_onsets, gt_onsets))
 
-    for d in deltas:
-        y_true_all, y_score_all = [], []
-        file_accs, file_matches = [], []
-        for gen, gt in pairs:
-            gen_onsets = onset_detect(gen, SR, delta=0.3)
-            gt_onsets = onset_detect(gt, SR, delta=0.3)
-            if args.remove_head is not None:
-                head = args.remove_head * SR
-                gen_onsets = gen_onsets[gen_onsets >= head]
-                gt_onsets = gt_onsets[gt_onsets >= head]
-            if len(gt_onsets) == 0 or len(gen_onsets) == 0:
-                file_accs.append(0.0)
-                file_matches.append(len(gt_onsets) == len(gen_onsets))
-                continue
-            res = match_onsets(gt_onsets, gen_onsets, gen, delta=d)
-            file_accs.append(res["acc"])
-            file_matches.append(res["count_match"])
-            y_true_all += res["y_true"]
-            y_score_all += res["y_score"]
-        accs.append(float(np.mean(file_accs)) if file_accs else 0.0)
-        matches.append(float(np.mean(file_matches)) if file_matches else 0.0)
-        if len(set(y_true_all)) > 1:
-            aps.append(float(average_precision_score(y_true_all, y_score_all)))
-        elif y_true_all:
-            aps.append(float(np.mean(y_true_all)))
-
+    # baseline-protocol policy: count-match on raw lengths even for
+    # zero-onset pairs (reference counts cnt_match before any skip, :193)
+    metrics = score_onset_pairs(pairs, deltas, empty_count_match_when_equal=True)
     print(json.dumps({
-        "detection_acc": round(float(np.mean(accs)) if accs else 0.0, 4),
-        "detection_ap": round(float(np.mean(aps)) if aps else float("nan"), 4),
-        "onset_count_match": round(float(np.mean(matches)) if matches else 0.0, 4),
-        "num_files": n,
+        "detection_acc": round(metrics["detection_acc"], 4),
+        "detection_ap": round(metrics["detection_ap"], 4),
+        "onset_count_match": round(metrics["onset_count_match"], 4),
+        "num_files": len(pairs),
     }))
 
 

@@ -231,8 +231,6 @@ def _write_item_artifacts(args, out, ds, batch, i, pair, name, cname,
     (generated/orig/cond), and spectrogram jpgs next to each video."""
     from syncfusion_tpu.eval.mux import attach_audio_to_frames, attach_audio_to_video
 
-    fps = float(ds.frame_rate)
-    n_frames = int(round(chunk_s * fps))
     orig_wav_path = out / "orig_audio" / f"{name}.wav"
     cond_wav_path = out / "cond_audio" / f"{cname}.wav"
     orig_wav_path.parent.mkdir(parents=True, exist_ok=True)
@@ -240,10 +238,15 @@ def _write_item_artifacts(args, out, ds, batch, i, pair, name, cname,
     write_wav(orig_wav_path, orig_wav, 22050)
     write_wav(cond_wav_path, cond_wav, 22050)
 
-    for vdir, vname, start_f, wav_path, src in (
-        ("generated_video", pair, batch["start_frame_"][i], gen_wav_path, name),
-        ("orig_video", name, batch["start_frame_"][i], orig_wav_path, name),
-        ("cond_video", cname, batch["cond_start_frame_"][i], cond_wav_path, cname),
+    ref_fps = float(batch["frame_rate_"][i])
+    cond_fps = float(batch["cond_frame_rate_"][i])
+    for vdir, vname, start_f, fps, wav_path, src in (
+        ("generated_video", pair, batch["start_frame_"][i], ref_fps,
+         gen_wav_path, name),
+        ("orig_video", name, batch["start_frame_"][i], ref_fps,
+         orig_wav_path, name),
+        ("cond_video", cname, batch["cond_start_frame_"][i], cond_fps,
+         cond_wav_path, cname),
     ):
         dest = out / vdir / f"{vname}.mp4"
         if args.orig_videos_dir:  # trim the real source video (needs ffmpeg)
@@ -257,7 +260,7 @@ def _write_item_artifacts(args, out, ds, batch, i, pair, name, cname,
             attach_audio_to_frames(
                 Path(ds.root) / src / "frames", f"{src}.frame_%06d.jpg",
                 wav_path, dest, fps=fps, start_frame=int(start_f),
-                n_frames=n_frames,
+                n_frames=int(round(chunk_s * fps)),
             )
 
     # spectrogram jpgs next to each video (reference draw_spec / plt.imshow

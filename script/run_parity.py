@@ -66,11 +66,47 @@ def _run_cli(cmd: list[str], timeout: int = 3600) -> dict:
 
 # ---------------------------------------------------------------- gates
 def gate_kinetics(ckpt_dir, ref_dir, data_dir):
+    """Kinetics-400 import (torchvision r2plus1d_18, main/resnet.py:8-12):
+    convert through the FULL-family converter and require every parameter
+    leaf of our model to be covered with the right shape — a wrong or
+    corrupt file fails here instead of silently passing."""
     f = _find(ckpt_dir, "r2plus1d_18*.pth", "r2plus1d_18*.pt")
     if not f:
         return {"status": "SKIPPED", "missing": [str(ckpt_dir / "r2plus1d_18-91a641e6.pth")]}
-    return _run_cli(["script/check_parity.py", "onset",
-                     "--reference_dir", ref_dir, "--ckpt", str(f)])
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from syncfusion_tpu.core.checkpoint import load_torch_state_dict
+    from syncfusion_tpu.models.video_resnet import (
+        convert_torch_video_resnet, r2plus1d_18,
+    )
+
+    converted = convert_torch_video_resnet(load_torch_state_dict(str(f)),
+                                           arch="r2plus1d_18")
+    model = r2plus1d_18()
+    x = jnp.zeros((1, 4, 112, 112, 3))
+    init = jax.eval_shape(lambda: model.init(jax.random.key(0), x, train=False))
+
+    def leaves(tree):
+        return {jax.tree_util.keystr(p): v.shape
+                for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    want, got = leaves(init), leaves(converted)
+    missing = sorted(set(want) - set(got))
+    bad = sorted(k for k in set(want) & set(got) if want[k] != got[k])
+    if missing or bad:
+        return {"status": "FAIL",
+                "detail": f"uncovered leaves {missing[:5]} shape-mismatches {bad[:5]}"}
+    xr = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 112, 112, 3)),
+                     jnp.float32)
+    out = np.asarray(jax.jit(
+        lambda v: model.apply(v, xr, train=False))(converted))
+    if not np.isfinite(out).all():
+        return {"status": "FAIL", "detail": "non-finite forward"}
+    return {"status": "PASS",
+            "detail": f"{len(want)} leaves covered, forward finite "
+                      f"{out.shape}"}
 
 
 def gate_onset_ckpt(ckpt_dir, ref_dir, data_dir):

@@ -59,24 +59,31 @@ def load_cfgs(paths) -> Config:
     return cfg
 
 
+def make_transform(cfg, augment: bool) -> FrameTransform:
+    """Single source of truth for the frame transform (the trainer reads
+    jitter strengths from the SAME instance the dataset uses).
+
+    uint8 wire format: 4x less H2D per clip batch; the trainer normalizes
+    on device (OnsetTrainer._prep_frames).  device_jitter: ColorJitter runs
+    inside the jitted train step (host jitter measured ~5 s/step at bs 16
+    vs 164 ms step compute — the augment recipe was host-bound); the cheap
+    RandomCrop stays host-side so the wire stays at crop size."""
+    d = cfg.data
+    size = d.get("frame_size", 112)
+    return FrameTransform(
+        augment=augment, size=size, resize_to=round(size * 128 / 112),
+        wire_uint8=True, device_jitter=d.get("device_jitter", True),
+    )
+
+
 def make_dataset(cfg, split: str, augment_override=None) -> GreatestHitsDataset:
     d = cfg.data
     augment = d.get("augment", False) if augment_override is None else augment_override
-    size = d.get("frame_size", 112)
     return GreatestHitsDataset(
         root_dir=d.root_dir,
         split_file_path=d[f"{split}_split_file_path"],
         chunk_length_in_seconds=d.get("chunk_length_in_seconds", 2.0),
-        # uint8 wire format: 4x less H2D per clip batch; the trainer
-        # normalizes on device (OnsetTrainer._prep_frames).
-        # device_jitter: ColorJitter runs inside the jitted train step
-        # (host jitter measured ~5 s/step at bs 16 vs 164 ms step compute —
-        # the augment recipe was host-bound); the cheap RandomCrop stays
-        # host-side so the wire stays at crop size.
-        frames_transforms=FrameTransform(
-            augment=augment, size=size, resize_to=round(size * 128 / 112),
-            wire_uint8=True, device_jitter=d.get("device_jitter", True),
-        ),
+        frames_transforms=make_transform(cfg, augment),
         data_to_use=d.get(f"{split}_data_to_use", 1.0),
         # epochs ≥2 skip the JPEG decode hot loop (~0.4 s/item measured);
         # capped so the full GH train split can't OOM the host — beyond the
@@ -142,10 +149,8 @@ def main(argv=None) -> None:
         jnp.bfloat16 if str(cfg.model.get("precision", 32)) == "bf16"
         else jnp.float32
     )
-    d = cfg.data
-    train_tf = FrameTransform(augment=d.get("augment", False))
-    use_device_jitter = (d.get("augment", False)
-                         and d.get("device_jitter", True)
+    train_tf = make_transform(cfg, augment=cfg.data.get("augment", False))
+    use_device_jitter = (train_tf.augment and train_tf.device_jitter
                          and args.subcommand == "fit")
     trainer = OnsetTrainer(
         model=VideoOnsetNet(layers=tuple(cfg.model.get("layers", (2, 2, 2, 2))),

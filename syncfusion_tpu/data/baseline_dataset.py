@@ -71,13 +71,17 @@ class GreatestHitsWaveDataset:
 
         self.list_onsets: list[tuple[str, float, float]] = []
         self.dict_video_onsets: dict[str, list[int]] = {}
+        self.video_fps: dict[str, float] = {}
         for sample in samples:
             ann = self.root / sample / f"{sample}{annotations_file_suffix}"
             meta = json.loads(
                 (self.root / sample / f"{sample}{metadata_file_suffix}").read_text()
             )
             duration = meta["processed"]["video_duration"]
-            self.frame_rate = meta["processed"]["video_frame_rate"]
+            # per-video fps (videos in one root can differ); frame_rate keeps
+            # the last one for the common uniform-fps case
+            self.video_fps[sample] = meta["processed"]["video_frame_rate"]
+            self.frame_rate = self.video_fps[sample]
             for line in ann.read_text().splitlines():
                 if not line.strip():
                     continue
@@ -121,7 +125,7 @@ class CondGreatestHitsWaveCondOnImage(GreatestHitsWaveDataset):
         self.frame_size = frame_size
 
     def _frames(self, sample: str, start_time: float) -> np.ndarray:
-        fps = self.frame_rate
+        fps = self.video_fps[sample]
         start_f = int(start_time * fps)
         end_f = int((start_time + self.chunk_s) * fps)
         frames_dir = self.root / sample / "frames"
@@ -161,11 +165,14 @@ class CondGreatestHitsWaveCondOnImage(GreatestHitsWaveDataset):
             "feature": np.concatenate([cond_frames, frames], axis=0),
             "file_path_wav_": str(self.root / sample),
             "file_path_cond_wav_": str(self.root / cond_sample),
-            # chunk start frames (reference file_path_feats_[1] /
-            # file_path_cond_feats_[1], dataset_greatesthits.py): the
-            # generation driver muxes output videos from these offsets.
-            "start_frame_": int(start * self.frame_rate),
-            "cond_start_frame_": int(cond_start * self.frame_rate),
+            # chunk start frames + per-video fps (reference
+            # file_path_feats_[1] / file_path_cond_feats_[1],
+            # dataset_greatesthits.py): the generation driver muxes output
+            # videos from these offsets at each video's own frame rate.
+            "start_frame_": int(start * self.video_fps[sample]),
+            "cond_start_frame_": int(cond_start * self.video_fps[cond_sample]),
+            "frame_rate_": float(self.video_fps[sample]),
+            "cond_frame_rate_": float(self.video_fps[cond_sample]),
         }
 
 

@@ -193,7 +193,8 @@ def read_mp4_audio(path: str | Path) -> tuple[np.ndarray, int]:
         channels, bits = struct.unpack(">HH", data[es + 16 : es + 20])
         (sr_fixed,) = struct.unpack(">I", data[es + 24 : es + 28])
         sample_rate = sr_fixed >> 16
-        assert bits == 16, f"only 16-bit PCM supported, got {bits}"
+        if bits != 16:  # ValueError → callers fall back to ffmpeg
+            raise ValueError(f"only 16-bit PCM supported, got {bits}")
 
         s, e = boxes[b"stsz"]
         const_size, n_samples = struct.unpack(">II", data[s + 4 : s + 12])

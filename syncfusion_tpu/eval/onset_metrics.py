@@ -101,48 +101,34 @@ def match_onsets(
     }
 
 
-def evaluate_onset_dirs(
-    gen_dir: str | Path,
-    tar_dir: str | Path,
-    delta: float = 0.1,
-    deltas: Optional[Sequence[float]] = None,
+def score_onset_pairs(
+    pairs: Sequence[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    deltas: Sequence[float],
+    empty_count_match_when_equal: bool = False,
 ) -> dict[str, float]:
-    """Directory-level protocol: detect onsets in every wav of both dirs
-    (paired by sorted order), aggregate Acc / AP / #onset-match rate.
-    ``deltas`` averages over multiple match windows (--multi_delta)."""
+    """Aggregate Acc / pooled AP / #onset-match over precomputed
+    ``(gen_wav, gen_onsets, gt_onsets)`` pairs, averaged over the match
+    windows ``deltas`` (--multi_delta).  Onset detection happens ONCE per
+    file in the caller — only the matching depends on delta.
+
+    Zero-onset pairs score acc 0; their count-match is False for the
+    diffusion protocol (reference evaluate_onset.py:165-168) but raw length
+    equality for the baseline protocol, whose reference counts cnt_match
+    BEFORE any skip (evaluate_onset_baseline.py:193)."""
     from sklearn.metrics import average_precision_score
 
-    from syncfusion_tpu.ops.resample import resample
-    from syncfusion_tpu.ops.wav import read_wav
-
-    def load_all(d):
-        out = {}
-        for p in sorted(Path(d).glob("*.wav")):
-            wav, sr = read_wav(p)
-            y = wav.mean(axis=0)
-            if sr != SR:
-                y = resample(y, sr, SR)
-            out[p.name] = (y, onset_detect(y, SR, delta=0.3))
-        return out
-
-    gen = load_all(gen_dir)
-    tar = load_all(tar_dir)
-    names = sorted(set(gen) & set(tar)) or list(zip(sorted(gen), sorted(tar)))
-
-    delta_list = list(deltas) if deltas else [delta]
     accs, aps, matches = [], [], []
-    for d in delta_list:
+    for d in deltas:
         y_true_all: list[int] = []
         y_score_all: list[float] = []
         file_accs, file_matches = [], []
-        for entry in names:
-            gname, tname = (entry, entry) if isinstance(entry, str) else entry
-            g_wav, g_on = gen[gname]
-            _, t_on = tar[tname]
+        for g_wav, g_on, t_on in pairs:
             if len(t_on) == 0 or len(g_on) == 0:
-                # reference: zero-onset files score 0 (evaluate_onset.py:165-168)
                 file_accs.append(0.0)
-                file_matches.append(False)
+                file_matches.append(
+                    len(t_on) == len(g_on) if empty_count_match_when_equal
+                    else False
+                )
                 continue
             res = match_onsets(t_on, g_on, g_wav, delta=d)
             file_accs.append(res["acc"])
@@ -160,5 +146,40 @@ def evaluate_onset_dirs(
         "detection_acc": float(np.mean(accs)),
         "detection_ap": float(np.mean(aps)) if aps else float("nan"),
         "onset_count_match": float(np.mean(matches)),
-        "num_files": float(len(names)),
+        "num_files": float(len(pairs)),
     }
+
+
+def evaluate_onset_dirs(
+    gen_dir: str | Path,
+    tar_dir: str | Path,
+    delta: float = 0.1,
+    deltas: Optional[Sequence[float]] = None,
+) -> dict[str, float]:
+    """Directory-level protocol: detect onsets in every wav of both dirs
+    (paired by sorted order), aggregate Acc / AP / #onset-match rate.
+    ``deltas`` averages over multiple match windows (--multi_delta)."""
+    from syncfusion_tpu.ops.resample import resample
+    from syncfusion_tpu.ops.wav import read_wav
+
+    def load_all(d):
+        out = {}
+        for p in sorted(Path(d).glob("*.wav")):
+            wav, sr = read_wav(p)
+            y = wav.mean(axis=0)
+            if sr != SR:
+                y = resample(y, sr, SR)
+            out[p.name] = (y, onset_detect(y, SR, delta=0.3))
+        return out
+
+    gen = load_all(gen_dir)
+    tar = load_all(tar_dir)
+    names = sorted(set(gen) & set(tar)) or list(zip(sorted(gen), sorted(tar)))
+
+    pairs = []
+    for entry in names:
+        gname, tname = (entry, entry) if isinstance(entry, str) else entry
+        g_wav, g_on = gen[gname]
+        _, t_on = tar[tname]
+        pairs.append((g_wav, g_on, t_on))
+    return score_onset_pairs(pairs, list(deltas) if deltas else [delta])

@@ -172,12 +172,19 @@ class OnsetTrainer:
         (when configured), ImageNet normalize — all inside the jitted step."""
         if self.jitter is None:
             return self._prep_frames(frames)
+        # float inputs are already ImageNet-NORMALIZED host-side
+        # (FrameTransform.finish) — jittering them as [0,1] pixels would be
+        # garbage; the device-jitter path requires the uint8 wire format.
+        assert frames.dtype == jnp.uint8, (
+            "OnsetTrainer(jitter=...) needs raw uint8 frames "
+            "(FrameTransform(wire_uint8=True, device_jitter=True)); got "
+            f"{frames.dtype}"
+        )
         from syncfusion_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
         from syncfusion_tpu.ops.augment import color_jitter_device
 
-        f = frames.astype(jnp.float32) / 255.0 if frames.dtype == jnp.uint8 \
-            else frames
-        f = color_jitter_device(f, key, *self.jitter)
+        f = color_jitter_device(frames.astype(jnp.float32) / 255.0, key,
+                                *self.jitter)
         return (f - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
     def _loss(self, params, batch_stats, batch, key):
