@@ -262,3 +262,25 @@ def test_concat_annotations_zero_onset_chunk(tmp_path):
     merged = (d / "vid_a.times.csv").read_text().split()
     assert merged == ["2.5000", "3.1000"]
     assert not list(d.glob("*.0-30.times.csv"))
+
+
+def test_score_onset_pairs_empty_policy():
+    """Shared per-delta scorer (eval/onset_metrics.score_onset_pairs):
+    zero-onset pairs count-match False on the diffusion protocol
+    (reference evaluate_onset.py:165-168) but raw length equality on the
+    baseline protocol (reference evaluate_onset_baseline.py:193 counts
+    cnt_match before any skip)."""
+    from syncfusion_tpu.eval.onset_metrics import score_onset_pairs
+
+    wav = np.zeros(1000, np.float32)
+    empty = np.array([], int)
+    some = np.array([100, 500], int)
+    pairs = [(wav, empty, empty),   # both empty
+             (wav, some, empty)]    # gen has onsets, gt empty
+
+    diff = score_onset_pairs(pairs, [0.1])
+    base = score_onset_pairs(pairs, [0.1], empty_count_match_when_equal=True)
+    assert diff["onset_count_match"] == 0.0        # both pairs → False
+    assert base["onset_count_match"] == 0.5        # (0==0) True, (2==0) False
+    assert diff["detection_acc"] == base["detection_acc"] == 0.0
+    assert diff["num_files"] == 2
