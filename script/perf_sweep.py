@@ -67,10 +67,11 @@ VARIANTS = {
                                 guidance_interval=(0.1, 0.7)),
     "folded256_b16_gi0107": dict(fold_cap=256, bf16_params=False, batch=16,
                                  guidance_interval=(0.1, 0.7)),
-    # DPM-Solver++(2M) serving candidates at 32 steps (second-order samplers
-    # typically hold quality at several-fold fewer steps; the on-chip quality
-    # curve is still queued — docs/REHEARSAL.md §7).  Throughput rows only;
-    # NOT comparable to the 150-step headline protocol rows.
+    # DPM-Solver++(2M) serving candidates at 32 steps.  The on-chip quality
+    # curve (docs/REHEARSAL.md §7) measured DDIM better at every matched
+    # step count on this model — these rows document that the second-order
+    # update itself is throughput-free and the band adds +25%.  Throughput
+    # rows only; NOT comparable to the 150-step headline protocol rows.
     "folded256_b8_ddim32": dict(fold_cap=256, bf16_params=False, batch=8,
                                 num_steps=32),
     "folded256_b8_dpm32": dict(fold_cap=256, bf16_params=False, batch=8,
