@@ -80,6 +80,11 @@ VARIANTS = {
                                         batch=8, num_steps=32, sampler="dpm",
                                         embedding_scale=1.5,
                                         guidance_interval=(0.2, 0.8)),
+    # symmetric DDIM cell for the REHEARSAL §7 serving-stack comparison
+    "folded256_b8_ddim32_s15_band": dict(fold_cap=256, bf16_params=False,
+                                         batch=8, num_steps=32,
+                                         embedding_scale=1.5,
+                                         guidance_interval=(0.2, 0.8)),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
