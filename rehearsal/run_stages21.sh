@@ -29,6 +29,18 @@ run() {
   echo "=== [$name] exit=$? $(date -u +%H:%M:%S) ==="
 }
 
+# Augment test CLI on the completed 15-epoch run (queue 20's own test cell
+# was skipped: a duplicate queue-20 instance left over from the previous
+# session created a decoy newest run dir at ONSET_RUN-selection time; the
+# duplicate was killed by PID and this re-runs the test cleanly).
+ONSET_RUN=logs/onset-augment/2026-08-19-14-00-48/
+if [ -n "$(ls -A "${ONSET_RUN}ckpts" 2>/dev/null)" ]; then
+  run stage3c_augment_test 1800 sh script/test_onset_model.sh \
+    "${ONSET_RUN}config.yaml" "${ONSET_RUN}ckpts"
+else
+  echo "augment run dir missing — skipping test"
+fi
+
 # the 20k-step soak checkpoint queue 19's curve used
 RUN2=$(sed -n 's/.*run dir: //p' rehearsal/soak_part2.log | head -1)
 if [ -z "$RUN2" ] || [ -z "$(ls -A "$RUN2/ckpts" 2>/dev/null)" ]; then
