@@ -85,6 +85,27 @@ VARIANTS = {
                                          batch=8, num_steps=32,
                                          embedding_scale=1.5,
                                          guidance_interval=(0.2, 0.8)),
+    # DeepCache deep-feature reuse (models/diffusion._cache_scan): deep half
+    # of the UNet recomputed every K-th step.  dcK = interval K, sS = split
+    # level S (levels >= S cached).  Quality curves ride REHEARSAL §11.
+    "folded256_b8_dc2": dict(fold_cap=256, bf16_params=False, batch=8,
+                             deep_cache_interval=2),
+    "folded256_b8_dc3": dict(fold_cap=256, bf16_params=False, batch=8,
+                             deep_cache_interval=3),
+    "folded256_b8_dc3_s3": dict(fold_cap=256, bf16_params=False, batch=8,
+                                deep_cache_interval=3, deep_split=3),
+    "folded256_b8_band_dc2": dict(fold_cap=256, bf16_params=False, batch=8,
+                                  guidance_interval=(0.2, 0.8),
+                                  deep_cache_interval=2),
+    "folded256_b8_band_dc3": dict(fold_cap=256, bf16_params=False, batch=8,
+                                  guidance_interval=(0.2, 0.8),
+                                  deep_cache_interval=3),
+    "folded256_b8_dpm32_s15_band_dc2": dict(fold_cap=256, bf16_params=False,
+                                            batch=8, num_steps=32,
+                                            sampler="dpm",
+                                            embedding_scale=1.5,
+                                            guidance_interval=(0.2, 0.8),
+                                            deep_cache_interval=2),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
@@ -139,7 +160,8 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
         batch: int = BATCH, train: bool = False, flash: bool = False,
         fused_stats: bool = False, guidance_interval=None,
         embedding_scale: float = 2.0, num_steps: int = NUM_STEPS,
-        sampler: str = "ddim") -> None:
+        sampler: str = "ddim", deep_cache_interval: int = 0,
+        deep_split: int = 4) -> None:
     if train:
         return run_train(name, fold_cap, flash)
     global BATCH
@@ -167,6 +189,7 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
             params, noise, onsets, embedding,
             num_steps=num_steps, embedding_scale=embedding_scale,
             guidance_interval=guidance_interval, sampler=sampler,
+            deep_cache_interval=deep_cache_interval, deep_split=deep_split,
         )
 
     t0 = time.perf_counter()

@@ -107,6 +107,10 @@ def main(argv=None) -> None:
                          "default; measured better FAD/onset metrics AND "
                          "faster than always-on CFG). Pass '-1 -1' to "
                          "disable (reference-parity always-on CFG).")
+    ap.add_argument("--deep_cache_interval", type=int, default=0,
+                    help="DeepCache: recompute the UNet's deep half only "
+                         "every K-th sampler step (0/1 = off; quality/"
+                         "throughput trade measured in docs/REHEARSAL.md)")
     ap.add_argument("--onset_layers", type=int, nargs=4, default=(2, 2, 2, 2))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mux_video", default=None,
@@ -167,7 +171,8 @@ def main(argv=None) -> None:
                                   guidance_interval=gi,
                                   num_steps=args.num_steps,
                                   embedding_scale=args.embedding_scale,
-                                  sampler=args.sampler)
+                                  sampler=args.sampler,
+                                  deep_cache_interval=args.deep_cache_interval)
     )(params, noise))[0, :, 0]
     write_wav(args.output, wav, SR)
     log.info("wrote %s (%.2f s @ %d Hz)", args.output, len(wav) / SR, SR)

@@ -58,6 +58,8 @@ def generate_dataset(
     embedding_scale: float = 7.5,
     guidance_interval=None,
     sampler: str = "ddim",
+    deep_cache_interval: int = 0,
+    deep_split: int = 4,
     cut_prefix: bool = False,
     cond_text: bool = False,
     one_chunk_per_track: bool = False,
@@ -79,6 +81,8 @@ def generate_dataset(
             guidance_interval=(tuple(guidance_interval)
                                if guidance_interval else None),
             sampler=sampler,
+            deep_cache_interval=deep_cache_interval,
+            deep_split=deep_split,
         )
 
     root_key = jax.random.key(seed)

@@ -84,6 +84,7 @@ def _make_nets(
     context: Optional[Sequence[jax.Array]],
     embedding: Optional[jax.Array],
     embedding_scale: float,
+    deep_split: int = 0,
 ) -> tuple[Callable, Callable, bool]:
     """Shared per-step net evaluators for the samplers.
 
@@ -92,10 +93,28 @@ def _make_nets(
     (uncond half passes the CFG mask → the net substitutes its fixed
     embedding) and combines with the reference plugin semantics
     ``v = v_uncond + (v_cond − v_uncond)·scale``.
+
+    Each net has signature ``net(x, sigma_scalar, cache=None,
+    want_deep=False) -> (v, deep)``: with ``deep_split`` set, ``cache``
+    substitutes the deep half of the UNet (folded_apply's DeepCache mode)
+    and ``want_deep=True`` returns the fresh deep feature; otherwise
+    ``deep`` is None.
     """
     use_cfg = embedding is not None and embedding_scale != 1.0
 
-    def net_cfg(x, sigma_scalar):
+    def _deep_kw(cache, want_deep):
+        if not deep_split:
+            assert cache is None and not want_deep, (
+                "deep-cache kwargs require deep_split")
+            return {}
+        kw = {"deep_split": deep_split}
+        if cache is not None:
+            kw["deep_cache"] = cache
+        if want_deep:
+            kw["return_deep"] = True
+        return kw
+
+    def net_cfg(x, sigma_scalar, cache=None, want_deep=False):
         x2 = jnp.concatenate([x, x], axis=0)
         ctx2 = (
             [jnp.concatenate([c, c], axis=0) for c in context]
@@ -110,18 +129,65 @@ def _make_nets(
             [jnp.zeros((x.shape[0], 1, 1)), jnp.ones((x.shape[0], 1, 1))], axis=0
         )
         sig2 = jnp.full((x2.shape[0],), sigma_scalar, jnp.float32)
-        v2 = apply_fn(
+        out = apply_fn(
             params, x2, sig2, context=ctx2, embedding=emb2,
-            embedding_cfg_mask=mask,
+            embedding_cfg_mask=mask, **_deep_kw(cache, want_deep),
         )
+        v2, deep = out if want_deep else (out, None)
         v_cond, v_uncond = jnp.split(v2, 2, axis=0)
-        return v_uncond + (v_cond - v_uncond) * embedding_scale
+        return v_uncond + (v_cond - v_uncond) * embedding_scale, deep
 
-    def net_plain(x, sigma_scalar):
+    def net_plain(x, sigma_scalar, cache=None, want_deep=False):
         sig = jnp.full((x.shape[0],), sigma_scalar, jnp.float32)
-        return apply_fn(params, x, sig, context=context, embedding=embedding)
+        out = apply_fn(
+            params, x, sig, context=context, embedding=embedding,
+            **_deep_kw(cache, want_deep),
+        )
+        return out if want_deep else (out, None)
 
     return net_cfg, net_plain, use_cfg
+
+
+def _cache_scan(net, step_update, carry0, idx, K):
+    """Run sampler steps ``idx`` (global indices) as ONE `lax.scan` with
+    deep-cache: the net runs FULL every K-th segment-local step (always at
+    the segment start, so a guidance-band boundary — where the effective
+    batch changes between B and 2B — never reuses a stale or wrong-shaped
+    cache) and on cached steps substitutes the previous deep feature.
+
+    ``net(x, i, cache, want_deep)`` takes the GLOBAL step index (the
+    sampler wraps the sigma lookup); ``step_update(carry, i, v) -> carry``
+    applies the sampler update given the net output; ``carry0`` is the
+    sampler-specific carry (x for DDIM, (x, x0_prev) for DPM++) whose
+    FIRST leaf is x.  The cache is initialized by shape only
+    (jax.eval_shape — no compute); step 0's `full` branch overwrites it
+    before any cached read.
+    """
+    x0 = jax.tree_util.tree_leaves(carry0)[0]
+    cache_sd = jax.eval_shape(
+        lambda x: net(x, jnp.int32(0), None, True)[1], x0)
+    cache0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
+
+    def step(carry_cache, ij):
+        carry, cache = carry_cache
+        i, j = ij
+        x = jax.tree_util.tree_leaves(carry)[0]
+
+        def full(args):
+            x, _ = args
+            return net(x, i, None, True)
+
+        def cached(args):
+            x, cache = args
+            v, _ = net(x, i, cache, False)
+            return v, cache
+
+        v, cache = jax.lax.cond(j % K == 0, full, cached, (x, cache))
+        return (step_update(carry, i, v), cache), None
+
+    local = jnp.arange(idx.shape[0])
+    (carry, _), _ = jax.lax.scan(step, (carry0, cache0), (idx, local))
+    return carry
 
 
 def v_sample(
@@ -134,6 +200,8 @@ def v_sample(
     embedding: Optional[jax.Array] = None,
     embedding_scale: float = 1.0,
     guidance_interval: Optional[tuple[float, float]] = None,
+    deep_cache_interval: int = 0,
+    deep_split: int = 0,
 ) -> jax.Array:
     """Deterministic v-sampler from pure noise ``(B, L, C)``.
 
@@ -149,25 +217,45 @@ def v_sample(
     cost compute without helping, and can actively hurt at high sigma).
     The step schedule is static, so the trajectory splits into contiguous
     `lax.scan` segments — no per-step branching in the compiled graph.
+
+    ``deep_cache_interval=K`` (K>1) enables DeepCache deep-feature reuse:
+    the UNet's deep half (levels >= ``deep_split``, bottleneck, deep up
+    path) is recomputed only every K-th step and reused in between, so
+    cached steps pay only the shallow levels (unet1d_folded.folded_apply
+    docstring).  Requires an ``apply_fn`` supporting the deep kwargs (the
+    folded path); the cache resets at guidance-band boundaries.
     """
+    K = deep_cache_interval if deep_cache_interval and deep_cache_interval > 1 else 0
+    if K and not deep_split:
+        raise ValueError("deep_cache_interval requires deep_split")
     net_cfg, net_plain, use_cfg = _make_nets(
-        apply_fn, params, context, embedding, embedding_scale)
+        apply_fn, params, context, embedding, embedding_scale,
+        deep_split=deep_split if K else 0)
     sigmas = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
 
-    def make_step(net):
+    def update(x, i, v):
+        s_now, s_next = sigmas[i], sigmas[i + 1]
+        a_now, b_now = alpha_beta(s_now)
+        a_next, b_next = alpha_beta(s_next)
+        x0 = a_now * x - b_now * v
+        eps = b_now * x + a_now * v
+        return a_next * x0 + b_next * eps
+
+    def run_segment(net, x, start, end):
+        idx = jnp.arange(start, end)
+        if K:
+            net_i = lambda x, i, cache, want: net(x, sigmas[i], cache, want)
+            return _cache_scan(net_i, update, x, idx, K)
+
         def step(x, i):
-            s_now, s_next = sigmas[i], sigmas[i + 1]
-            a_now, b_now = alpha_beta(s_now)
-            a_next, b_next = alpha_beta(s_next)
-            v = net(x, s_now)
-            x0 = a_now * x - b_now * v
-            eps = b_now * x + a_now * v
-            return a_next * x0 + b_next * eps, None
-        return step
+            v, _ = net(x, sigmas[i])
+            return update(x, i, v), None
+
+        x, _ = jax.lax.scan(step, x, idx)
+        return x
 
     if use_cfg and guidance_interval is not None:
         lo, hi = guidance_interval
-        step_cfg, step_plain = make_step(net_cfg), make_step(net_plain)
         in_band = guidance_band_mask(num_steps, lo, hi)
         x = noise
         start = 0
@@ -175,14 +263,12 @@ def v_sample(
             end = start
             while end < num_steps and in_band[end] == in_band[start]:
                 end += 1
-            step = step_cfg if in_band[start] else step_plain
-            x, _ = jax.lax.scan(step, x, jnp.arange(start, end))
+            x = run_segment(net_cfg if in_band[start] else net_plain,
+                            x, start, end)
             start = end
         return x
 
-    step = make_step(net_cfg if use_cfg else net_plain)
-    x, _ = jax.lax.scan(step, noise, jnp.arange(num_steps))
-    return x
+    return run_segment(net_cfg if use_cfg else net_plain, noise, 0, num_steps)
 
 
 def _dpm_coefficients(num_steps: int):
@@ -229,6 +315,8 @@ def dpm_sample(
     embedding: Optional[jax.Array] = None,
     embedding_scale: float = 1.0,
     guidance_interval: Optional[tuple[float, float]] = None,
+    deep_cache_interval: int = 0,
+    deep_split: int = 0,
 ) -> jax.Array:
     """DPM-Solver++(2M) sampler on the same v-diffusion ODE as `v_sample`.
 
@@ -250,39 +338,52 @@ def dpm_sample(
     only difference.  Same `lax.scan` structure and guidance-interval
     segmentation as `v_sample`; the x0 history threads through segment
     boundaries in the carry.
+
+    ``deep_cache_interval`` / ``deep_split``: DeepCache deep-feature
+    reuse exactly as in `v_sample` (folded apply_fn only; cache resets
+    at band boundaries).
     """
+    K = deep_cache_interval if deep_cache_interval and deep_cache_interval > 1 else 0
+    if K and not deep_split:
+        raise ValueError("deep_cache_interval requires deep_split")
     net_cfg, net_plain, use_cfg = _make_nets(
-        apply_fn, params, context, embedding, embedding_scale)
+        apply_fn, params, context, embedding, embedding_scale,
+        deep_split=deep_split if K else 0)
     sig, a, b, c2, rb, cD = _dpm_coefficients(num_steps)
 
-    def make_step(net):
-        def step(carry, coefs):
-            x, x0_prev = carry
-            sig_k, a_k, b_k, c2_k, rb_k, cD_k = coefs
-            v = net(x, sig_k)
-            x0 = a_k * x - b_k * v
-            d = (1.0 + c2_k) * x0 - c2_k * x0_prev
-            return (rb_k * x + cD_k * d, x0), None
-        return step
+    def update(carry, i, v):
+        x, x0_prev = carry
+        x0 = a[i] * x - b[i] * v
+        d = (1.0 + c2[i]) * x0 - c2[i] * x0_prev
+        return (rb[i] * x + cD[i] * d, x0)
 
-    coefs = (sig, a, b, c2, rb, cD)
+    def run_segment(net, carry, start, end):
+        idx = jnp.arange(start, end)
+        if K:
+            net_i = lambda x, i, cache, want: net(x, sig[i], cache, want)
+            return _cache_scan(net_i, update, carry, idx, K)
+
+        def step(carry, i):
+            v, _ = net(carry[0], sig[i])
+            return update(carry, i, v), None
+
+        carry, _ = jax.lax.scan(step, carry, idx)
+        return carry
+
     carry = (noise, jnp.zeros_like(noise))  # x0_prev unused while c2=0
 
     if use_cfg and guidance_interval is not None:
         lo, hi = guidance_interval
-        step_cfg, step_plain = make_step(net_cfg), make_step(net_plain)
         in_band = guidance_band_mask(num_steps, lo, hi)
         start = 0
         while start < num_steps:
             end = start
             while end < num_steps and in_band[end] == in_band[start]:
                 end += 1
-            step = step_cfg if in_band[start] else step_plain
-            seg = tuple(c[start:end] for c in coefs)
-            carry, _ = jax.lax.scan(step, carry, seg)
+            carry = run_segment(net_cfg if in_band[start] else net_plain,
+                                carry, start, end)
             start = end
         return carry[0]
 
-    step = make_step(net_cfg if use_cfg else net_plain)
-    carry, _ = jax.lax.scan(step, carry, coefs)
+    carry = run_segment(net_cfg if use_cfg else net_plain, carry, 0, num_steps)
     return carry[0]

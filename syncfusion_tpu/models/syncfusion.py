@@ -175,6 +175,8 @@ class SyncFusionDiffusion:
         embedding_scale: float = 1.0,
         guidance_interval: Optional[tuple[float, float]] = None,
         sampler: str = "ddim",
+        deep_cache_interval: int = 0,
+        deep_split: int = 4,
     ) -> jax.Array:
         """Generate waveforms from noise (B, L, 1) conditioned on onsets +
         embedding (reference eval protocol: 150 steps, scale 2.0 —
@@ -188,6 +190,12 @@ class SyncFusionDiffusion:
         (DPM-Solver++(2M), models/diffusion.dpm_sample — second-order,
         holds quality at several-fold fewer steps).
 
+        ``deep_cache_interval=K`` (K>1): DeepCache deep-feature reuse —
+        the UNet's levels >= ``deep_split`` (bottleneck + deep up path)
+        recompute only every K-th sampler step (models/diffusion.py,
+        unet1d_folded.folded_apply).  Folded execution path only
+        (``fold_cap`` set): the feature lives in the folded apply.
+
         With ``fold_cap`` set, the whole scan carry stays in folded layout:
         noise is folded once, the context pyramid is folded once (outside
         the 150-step loop), and the waveform is unfolded once at the end —
@@ -195,6 +203,11 @@ class SyncFusionDiffusion:
         """
         context = self.encode_context(params["encoder"], onsets)
         sample_fn = {"ddim": v_sample, "dpm": dpm_sample}[sampler]
+        deep_kw = (
+            dict(deep_cache_interval=deep_cache_interval, deep_split=deep_split)
+            if deep_cache_interval and deep_cache_interval > 1
+            else {}
+        )
 
         if self.fold_cap and isinstance(self.unet, UNet1d):
             from syncfusion_tpu.models.unet1d_folded import compute_folds, folded_apply
@@ -223,9 +236,15 @@ class SyncFusionDiffusion:
                     context=ctx_f, embedding=embedding,
                     embedding_scale=embedding_scale,
                     guidance_interval=guidance_interval,
+                    **deep_kw,
                 )
                 return unfold(out, entry_fold)
 
+        if deep_kw:
+            raise ValueError(
+                "deep_cache_interval requires the folded execution path "
+                "(set fold_cap; compat modules are unsupported)"
+            )
         return sample_fn(
             self._unet_apply(),
             params["unet"],

@@ -247,6 +247,9 @@ def folded_apply(
     context_folded: bool = False,
     folds: Optional[list[int]] = None,
     flash: Optional[bool] = None,
+    deep_split: int = 0,
+    deep_cache: Optional[jax.Array] = None,
+    return_deep: bool = False,
 ) -> jax.Array:
     """Drop-in for ``unet.apply(variables, ...)`` with folded shallow levels.
 
@@ -256,6 +259,18 @@ def folded_apply(
     precomputed ``folds`` too, since the true length can't be derived from a
     folded ``x`` alone).  ``context_folded``: the context pyramid is
     pre-folded by the caller (once per clip, outside the step loop).
+
+    Deep-feature reuse (DeepCache, Ma et al. 2023, arXiv:2312.00858 —
+    adjacent diffusion steps change the deep UNet features slowly):
+    ``deep_split=S`` splits the network at level S.  With
+    ``deep_cache=None`` the full network runs and (when ``return_deep``)
+    the up-path feature entering level S-1 — shape
+    ``(B, L_{S-1}/f_{S-1}, channels[S-1]*f_{S-1})``, the level-S up
+    output — is returned as the cache.  With ``deep_cache`` given, levels
+    S..n-1, the bottleneck, and the deep half of the up path are SKIPPED
+    and the cached feature is substituted, so a cached call pays only the
+    shallow down/up levels + head.  The samplers refresh the cache every
+    K steps (``deep_cache_interval`` in models/diffusion.py).
     """
     p = variables["params"]
     n = len(unet.channels)
@@ -324,12 +339,15 @@ def folded_apply(
         return folded_conv3(h, k_f, sub["bias"], max(f_out, 1), dtype=unet.dtype)
 
     # --- down path ------------------------------------------------------
+    if deep_split and not (1 <= deep_split <= n - 1):
+        raise ValueError(f"deep_split must be in [1, {n - 1}], got {deep_split}")
+    n_down = deep_split if (deep_split and deep_cache is not None) else n
     h = x.astype(unet.dtype)
     entry_fold = folds[0] * unet.factors[0]
     if entry_fold > 1 and not io_folded:
         h = fold(h, entry_fold)
     skips = []
-    for i in range(n):
+    for i in range(n_down):
         f_prev = folds[i - 1] if i > 0 else entry_fold
         stride = unet.factors[i]
         kw_key = "Conv_0"
@@ -351,15 +369,23 @@ def folded_apply(
         h = run_items(h, i, "down", folds[i])
         skips.append(h)
 
-    # --- bottleneck (never folded: deepest level is attention-bearing) --
-    h = _plain_resnet(unet, p["mid_res_0"], h, time_emb, unet.channels[-1])
-    h = _plain_attn(unet, p["mid_attn"], h, flash)
-    if embedding is not None:
-        h = _plain_xattn(unet, p["mid_xattn"], h, embedding)
-    h = _plain_resnet(unet, p["mid_res_1"], h, time_emb, unet.channels[-1])
+    if deep_split and deep_cache is not None:
+        # Deep levels skipped: substitute the cached up-path feature at the
+        # split point (output of up-level deep_split = input to the
+        # up-level deep_split-1 concat).
+        h = deep_cache.astype(unet.dtype)
+        deep_out = deep_cache
+    else:
+        # --- bottleneck (never folded: deepest level is attention-bearing)
+        h = _plain_resnet(unet, p["mid_res_0"], h, time_emb, unet.channels[-1])
+        h = _plain_attn(unet, p["mid_attn"], h, flash)
+        if embedding is not None:
+            h = _plain_xattn(unet, p["mid_xattn"], h, embedding)
+        h = _plain_resnet(unet, p["mid_res_1"], h, time_emb, unet.channels[-1])
+        deep_out = None
 
     # --- up path --------------------------------------------------------
-    for i in reversed(range(n)):
+    for i in reversed(range(n_down)):
         h = jnp.concatenate([h, skips[i]], axis=-1)
         h = run_items(h, i, "up", folds[i])
         up_ch = unet.channels[i - 1] if i > 0 else unet.channels[0]
@@ -372,6 +398,8 @@ def folded_apply(
             sub = p[f"up_{i}"]["ConvTranspose_0"]
             h = boundary_conv(sub, h, folds[i], f_out, stride, up_ch,
                               transposed=True)
+        if deep_split and deep_out is None and i == deep_split:
+            deep_out = h  # cacheable feature entering up-level deep_split-1
 
     # --- head -----------------------------------------------------------
     out_ch = unet.out_channels or unet.in_channels
@@ -394,7 +422,11 @@ def folded_apply(
         h = nn.Conv(out_ch, (3,), dtype=unet.dtype).apply(
             {"params": p["head"]}, nn.silu(h)
         )
-    return h.astype(jnp.float32)
+    out = h.astype(jnp.float32)
+    if return_deep:
+        assert deep_split, "return_deep requires deep_split"
+        return out, deep_out
+    return out
 
 
 def make_folded_apply(unet: UNet1d, fold_cap: int = 256):

@@ -42,6 +42,8 @@ class DataParallelSampler:
         length: int = 2**18,
         guidance_interval=(0.2, 0.8),
         sampler: str = "ddim",
+        deep_cache_interval: int = 0,
+        deep_split: int = 4,
     ):
         self.model = model
         self.mesh = mesh
@@ -57,6 +59,7 @@ class DataParallelSampler:
                 params, noise, onsets, emb,
                 num_steps=num_steps, embedding_scale=embedding_scale,
                 guidance_interval=guidance_interval, sampler=sampler,
+                deep_cache_interval=deep_cache_interval, deep_split=deep_split,
             ),
             in_shardings=(replicated, sharded, sharded, sharded),
             out_shardings=sharded,

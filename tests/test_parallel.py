@@ -54,6 +54,16 @@ def test_dp_sampler_runs_and_matches_single_device():
     assert out_dpm.shape == (8, L) and np.isfinite(out_dpm).all()
     assert float(np.abs(out_dpm - out).max()) > 1e-7  # genuinely different path
 
+    # DeepCache serving option over the mesh (folded execution path)
+    import dataclasses as dc
+
+    folded = dc.replace(model, fold_cap=64)
+    dcs = DataParallelSampler(folded, mesh, num_steps=3, embedding_scale=2.0,
+                              per_chip_batch=1, length=L,
+                              deep_cache_interval=2, deep_split=1)
+    out_dc = dcs(params, onsets, emb, jax.random.key(3))
+    assert out_dc.shape == (8, L) and np.isfinite(out_dc).all()
+
 
 def test_onset_syncbn_mesh_equivalence():
     """sync-BN under GSPMD: the BatchNorm batch statistics are computed over

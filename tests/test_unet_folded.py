@@ -209,3 +209,97 @@ def test_fused_stats_path_equivalence(setup):
                        fold_cap=256)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_deep_split_full_path_unchanged(setup):
+    """deep_split with no cache runs the FULL network — identical output,
+    plus the cacheable deep feature with the documented shape."""
+    u, p, x, sigma, ctx, emb = setup
+    base = folded_apply(u, p, x, sigma, context=ctx, embedding=emb)
+    out, deep = folded_apply(
+        u, p, x, sigma, context=ctx, embedding=emb,
+        deep_split=2, return_deep=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    folds = compute_folds(u, 256, L)
+    # feature entering up-level 1: level-1 resolution, channels[1], folded
+    assert deep.shape == (2, (L // 4) // folds[1], 32 * folds[1])
+
+
+def test_deep_cache_substitution_exact(setup):
+    """A cached call with a FRESH cache (same x, same sigma) reproduces the
+    full forward exactly: shallow recompute + cached deep == full network."""
+    u, p, x, sigma, ctx, emb = setup
+    full, deep = folded_apply(
+        u, p, x, sigma, context=ctx, embedding=emb,
+        deep_split=2, return_deep=True,
+    )
+    cached = folded_apply(
+        u, p, x, sigma, context=ctx, embedding=emb,
+        deep_split=2, deep_cache=deep,
+    )
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+    # stale cache (different x) -> approximation, not equality
+    x2 = x + 0.1
+    approx = folded_apply(
+        u, p, x2, sigma, context=ctx, embedding=emb,
+        deep_split=2, deep_cache=deep,
+    )
+    full2 = folded_apply(u, p, x2, sigma, context=ctx, embedding=emb)
+    assert np.all(np.isfinite(np.asarray(approx)))
+    assert np.abs(np.asarray(approx) - np.asarray(full2)).max() > 0
+
+
+def test_deep_split_validation(setup):
+    u, p, x, sigma, ctx, emb = setup
+    with pytest.raises(ValueError, match="deep_split"):
+        folded_apply(u, p, x, sigma, context=ctx, embedding=emb, deep_split=4)
+
+
+def test_deep_cache_sampling():
+    """End to end: deep_cache_interval through SyncFusionDiffusion.sample
+    (both samplers, with and without guidance band); close to the no-cache
+    trajectory and exactly reproducible."""
+    cfg = {
+        "model": {
+            "channels": [8, 32, 64, 128], "factors": [1, 4, 4, 4],
+            "items": [1, 2, 2, 2], "attentions": [0, 0, 0, 1],
+            "cross_attentions": [1, 1, 1, 1], "context_channels": [2, 8, 16, 32],
+        },
+        "onsets_encoder": {
+            "channels": 8, "multipliers": [1, 2, 4, 4, 4],
+            "factors": [1, 4, 4, 4], "num_blocks": [1, 1, 1, 1],
+        },
+    }
+    folded = SyncFusionDiffusion.from_config(cfg, fold_cap=256)
+    params = folded.init(jax.random.key(0), L, batch=1)
+    noise = jax.random.normal(jax.random.key(1), (2, L, 1))
+    onsets = jnp.zeros((2, L, 1)).at[:, 100, 0].set(1.0)
+    emb = jax.random.normal(jax.random.key(2), (2, 1, 512))
+    for sampler in ("ddim", "dpm"):
+        for band in (None, (0.2, 0.8)):
+            base = folded.sample(
+                params, noise, onsets, emb, num_steps=6,
+                embedding_scale=2.0, guidance_interval=band, sampler=sampler,
+            )
+            out = folded.sample(
+                params, noise, onsets, emb, num_steps=6,
+                embedding_scale=2.0, guidance_interval=band, sampler=sampler,
+                deep_cache_interval=2, deep_split=2,
+            )
+            again = folded.sample(
+                params, noise, onsets, emb, num_steps=6,
+                embedding_scale=2.0, guidance_interval=band, sampler=sampler,
+                deep_cache_interval=2, deep_split=2,
+            )
+            assert np.all(np.isfinite(np.asarray(out)))
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(again))
+            diff = np.abs(np.asarray(out) - np.asarray(base)).max()
+            assert 0 < diff < 1.0, (sampler, band, diff)
+
+    plain = SyncFusionDiffusion.from_config(cfg)
+    with pytest.raises(ValueError, match="folded"):
+        plain.sample(
+            params, noise, onsets, emb, num_steps=2,
+            deep_cache_interval=2,
+        )
