@@ -225,8 +225,18 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
 def main() -> None:
     names = sys.argv[1:] or list(VARIANTS)
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
+    failed = []
     for name in names:
-        run(name, **VARIANTS[name])
+        # a transient tunnel error (e.g. remote_compile connection drop) on
+        # one variant must not kill the rest of the sweep
+        try:
+            run(name, **VARIANTS[name])
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(json.dumps({"variant": name, "error": str(e)[:200]}),
+                  flush=True)
+    if failed:
+        raise SystemExit(f"variants failed: {failed}")
 
 
 if __name__ == "__main__":

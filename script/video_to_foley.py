@@ -111,6 +111,9 @@ def main(argv=None) -> None:
                     help="DeepCache: recompute the UNet's deep half only "
                          "every K-th sampler step (0/1 = off; quality/"
                          "throughput trade measured in docs/REHEARSAL.md)")
+    ap.add_argument("--deep_split", type=int, default=4,
+                    help="DeepCache split level: UNet levels >= this are "
+                         "cached (must be < the model's level count)")
     ap.add_argument("--onset_layers", type=int, nargs=4, default=(2, 2, 2, 2))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mux_video", default=None,
@@ -172,7 +175,8 @@ def main(argv=None) -> None:
                                   num_steps=args.num_steps,
                                   embedding_scale=args.embedding_scale,
                                   sampler=args.sampler,
-                                  deep_cache_interval=args.deep_cache_interval)
+                                  deep_cache_interval=args.deep_cache_interval,
+                                  deep_split=args.deep_split)
     )(params, noise))[0, :, 0]
     write_wav(args.output, wav, SR)
     log.info("wrote %s (%.2f s @ %d Hz)", args.output, len(wav) / SR, SR)

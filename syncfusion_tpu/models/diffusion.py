@@ -148,6 +148,15 @@ def _make_nets(
     return net_cfg, net_plain, use_cfg
 
 
+def _normalize_deep_cache(deep_cache_interval: int, deep_split: int) -> int:
+    """Shared enabling rule for the samplers: returns K (0 = disabled;
+    intervals of 0/1 disable) and validates that a split level is set."""
+    K = deep_cache_interval if deep_cache_interval and deep_cache_interval > 1 else 0
+    if K and not deep_split:
+        raise ValueError("deep_cache_interval requires deep_split")
+    return K
+
+
 def _cache_scan(net, step_update, carry0, idx, K):
     """Run sampler steps ``idx`` (global indices) as ONE `lax.scan` with
     deep-cache: the net runs FULL every K-th segment-local step (always at
@@ -225,9 +234,7 @@ def v_sample(
     docstring).  Requires an ``apply_fn`` supporting the deep kwargs (the
     folded path); the cache resets at guidance-band boundaries.
     """
-    K = deep_cache_interval if deep_cache_interval and deep_cache_interval > 1 else 0
-    if K and not deep_split:
-        raise ValueError("deep_cache_interval requires deep_split")
+    K = _normalize_deep_cache(deep_cache_interval, deep_split)
     net_cfg, net_plain, use_cfg = _make_nets(
         apply_fn, params, context, embedding, embedding_scale,
         deep_split=deep_split if K else 0)
@@ -343,9 +350,7 @@ def dpm_sample(
     reuse exactly as in `v_sample` (folded apply_fn only; cache resets
     at band boundaries).
     """
-    K = deep_cache_interval if deep_cache_interval and deep_cache_interval > 1 else 0
-    if K and not deep_split:
-        raise ValueError("deep_cache_interval requires deep_split")
+    K = _normalize_deep_cache(deep_cache_interval, deep_split)
     net_cfg, net_plain, use_cfg = _make_nets(
         apply_fn, params, context, embedding, embedding_scale,
         deep_split=deep_split if K else 0)

@@ -240,11 +240,14 @@ class SyncFusionDiffusion:
                 )
                 return unfold(out, entry_fold)
 
-        if deep_kw:
+        if deep_kw and not (self.fold_cap and isinstance(self.unet, UNet1d)):
             raise ValueError(
                 "deep_cache_interval requires the folded execution path "
                 "(set fold_cap; compat modules are unsupported)"
             )
+        # NB: with fold_cap set but degenerate folds (indivisible length or
+        # out_channels != in_channels) _unet_apply() is still the folded
+        # apply, which supports the deep-cache kwargs — pass them through.
         return sample_fn(
             self._unet_apply(),
             params["unet"],
@@ -254,6 +257,7 @@ class SyncFusionDiffusion:
             embedding=embedding,
             embedding_scale=embedding_scale,
             guidance_interval=guidance_interval,
+            **deep_kw,
         )
 
     def param_count(self, params: dict) -> int:

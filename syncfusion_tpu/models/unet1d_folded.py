@@ -341,6 +341,8 @@ def folded_apply(
     # --- down path ------------------------------------------------------
     if deep_split and not (1 <= deep_split <= n - 1):
         raise ValueError(f"deep_split must be in [1, {n - 1}], got {deep_split}")
+    if deep_cache is not None and not deep_split:
+        raise ValueError("deep_cache requires deep_split")
     n_down = deep_split if (deep_split and deep_cache is not None) else n
     h = x.astype(unet.dtype)
     entry_fold = folds[0] * unet.factors[0]
