@@ -27,6 +27,8 @@ Gate order (each line names its reference counterpart):
   8. fad_protocol      — full generation + FAD within 2% (BASELINE.md gate)
   9. band_revalidation — guidance-interval serving default re-checked under
                          real VGGish-FAD (docs/PARITY.md serving note)
+  10. deepcache_revalidation — DeepCache quality-neutrality re-checked under
+                         real VGGish-FAD (docs/REHEARSAL.md §11)
 """
 
 from __future__ import annotations
@@ -276,6 +278,30 @@ def gate_band_revalidation(ckpt_dir, ref_dir, data_dir):
     return r
 
 
+def gate_deepcache_revalidation(ckpt_dir, ref_dir, data_dir):
+    ckpt = _find(ckpt_dir, "epoch=784*.ckpt")
+    clap = _find(ckpt_dir, "630k-audioset-best.pt")
+    vggish = _find(ckpt_dir, "vggish*.pth", "vggish*.pt")
+    shard = _find(Path(data_dir), "test_shard_1.tar") if data_dir else None
+    missing = [n for n, v in [("epoch=784 ckpt", ckpt), ("CLAP 630k", clap),
+                              ("VGGish", vggish), ("test_shard_1.tar", shard)]
+               if v is None]
+    if missing:
+        return {"status": "SKIPPED", "missing": missing}
+    # DeepCache quality-neutrality (docs/REHEARSAL.md §11) was measured on
+    # the proxy metric; re-validate under real VGGish-FAD at the serving
+    # interval before using deep_cache_interval in production.
+    r = _fad_eval(["+experiment.guidance_interval=[0.2,0.8]",
+                   "+experiment.deep_cache_interval=3"],
+                  ckpt, clap, vggish, shard, "parity-gh-gen-band-dc3")
+    if r["status"] != "PASS":
+        return r
+    r["detail"] += ("\ncompare metrics.csv of parity-gh-gen-band-dc3 vs "
+                    "parity-gh-gen-band: dc3 FAD must be within 2% of the "
+                    "no-cache band FAD (quality-neutrality claim)")
+    return r
+
+
 GATES = [
     ("kinetics_r2plus1d", gate_kinetics),
     ("onset_ckpt", gate_onset_ckpt),
@@ -286,6 +312,7 @@ GATES = [
     ("diffusion_epoch784", gate_diffusion784),
     ("fad_protocol", gate_fad_protocol),
     ("band_revalidation", gate_band_revalidation),
+    ("deepcache_revalidation", gate_deepcache_revalidation),
 ]
 
 
