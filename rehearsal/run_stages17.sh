@@ -7,6 +7,9 @@
 # so the highest-value cells land first, each cell bounded by timeout.
 # Launch from repo root AFTER /tmp/make_data.sh has been started:
 #   nohup sh rehearsal/run_stages17.sh > /tmp/stages17.log 2>&1 &
+# ADVICE r3 closure: the `timeout`-orphans-python finding is fixed globally —
+# every script/*.sh wrapper now `exec python`s, so timeout signals the real
+# chip client, here and in every later queue.
 
 cd "$(dirname "$0")/.." || exit 1
 
@@ -29,7 +32,11 @@ run stage1_retrain 3600 sh script/train_diffusion_model_gh.sh \
   model.embedder_checkpoint=null \
   max_steps=2500 log_every_n_steps=500
 
-RUN_DIR=$(ls -d logs/runs/*/ | tail -1)
+RUN_DIR=$(ls -d logs/runs/*/ 2>/dev/null | tail -1)
+if [ -z "$RUN_DIR" ] || [ -z "$(ls -A "${RUN_DIR}ckpts" 2>/dev/null)" ]; then
+  echo "RETRAIN left no checkpoint in '${RUN_DIR}ckpts' — aborting queue"
+  exit 1
+fi
 echo "STAGE1_RUN=$RUN_DIR"
 
 # -- 2. GT prep --------------------------------------------------------------

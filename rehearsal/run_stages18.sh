@@ -5,7 +5,15 @@
 
 cd "$(dirname "$0")/.." || exit 1
 
-while ! grep -q "STAGES17 DONE" /tmp/stages17.log 2>/dev/null; do sleep 20; done
+# Bounded wait: give up after 6 h rather than spinning forever if queue 17
+# crashed before its final DONE echo (ADVICE r3 low finding).
+deadline=$(( $(date +%s) + 21600 ))
+while ! grep -q "STAGES17 DONE" /tmp/stages17.log 2>/dev/null; do
+  if [ "$(date +%s)" -gt "$deadline" ]; then
+    echo "queue 17 never finished within 6h — giving up"; exit 1
+  fi
+  sleep 20
+done
 
 timeout 1800 python script/perf_sweep.py \
   folded256_b8_ddim32 folded256_b8_dpm32 folded256_b8_dpm32_s15_band \
