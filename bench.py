@@ -5,11 +5,16 @@ Protocol (reference eval semantics, exp/evaluate_gh_gen.yaml): generate
 onset-encoder context + CLAP-token conditioning, 150 v-sampler steps,
 CFG scale 2.0 (cond+uncond folded into one batched forward) restricted to
 the sigma band [0.2, 0.8] (guidance interval, models/diffusion.v_sample):
-cond-only forwards outside the band.  Quality-validated serving default —
+cond-only forwards outside the band.  Quality-validated serving defaults —
 on the rehearsal eval protocol the band IMPROVES FAD proxy 67.3 -> 22.1 and
 onset count-match 0.73 -> 0.89 over always-on CFG (rehearsal/
-stage2c_gen_gi0208.log) while cutting compute; always-on CFG remains the
-parity setting in the eval configs.
+stage2c_gen_gi0208.log) while cutting compute, and DeepCache deep-feature
+reuse (K=3, arXiv:2312.00858; deep half of the folded UNet recomputed every
+3rd step via lax.cond inside the scan) is quality-neutral-or-better across
+two seeds at this exact composition (docs/REHEARSAL.md §11, queue 26:
+FAD 23.61->21.73 seed 0, 25.68->23.41 seed 1, onset metrics identical)
+for +72% throughput.  Always-on CFG with no cache remains the parity
+setting in the eval configs.
 
 Reported as clips/min/chip normalized to 8-second clips
 (driver target: ≥50 clips/min on v5e-8 ⇒ 6.25 clips/min/chip baseline).
@@ -40,6 +45,7 @@ BATCH = 8  # b8 + guidance interval beats b4 always-CFG (script/perf_sweep.py:
 # 66.4 vs 56.9 clips/min/chip; at b4 the per-step cost floor eats the
 # cond-only saving - folded256_b4_s1 diagnostic)
 GUIDANCE_INTERVAL = (0.2, 0.8)
+DEEP_CACHE_INTERVAL = 3  # quality gate: REHEARSAL §11 queue 26 (two seeds)
 
 
 def main() -> None:
@@ -63,6 +69,7 @@ def main() -> None:
             params, noise, onsets, embedding,
             num_steps=NUM_STEPS, embedding_scale=2.0,
             guidance_interval=GUIDANCE_INTERVAL,
+            deep_cache_interval=DEEP_CACHE_INTERVAL,
         )
 
     # compile + warmup; scalar extraction is the reliable device sync over
