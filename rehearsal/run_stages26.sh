@@ -19,11 +19,15 @@
 
 cd "$(dirname "$0")/.." || exit 1
 
+# NOTE: run() must not reuse cell()'s variable names — POSIX sh has no
+# locals, and an earlier version's shared `name` meant the second run()
+# inside cell() expanded ${name} to the FIRST run's name (onset cells
+# scored an empty --gen_dir; queue 26 re-scored them manually).
 run() {
-  name=$1; tmo=$2; shift 2
-  echo "=== [$name] start $(date -u +%H:%M:%S) ==="
-  timeout "$tmo" "$@" > "rehearsal/$name.log" 2>&1
-  echo "=== [$name] exit=$? $(date -u +%H:%M:%S) ==="
+  rname=$1; tmo=$2; shift 2
+  echo "=== [$rname] start $(date -u +%H:%M:%S) ==="
+  timeout "$tmo" "$@" > "rehearsal/$rname.log" 2>&1
+  echo "=== [$rname] exit=$? $(date -u +%H:%M:%S) ==="
 }
 
 # -- 0. data (idempotent) -----------------------------------------------------
