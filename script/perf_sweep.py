@@ -103,6 +103,9 @@ VARIANTS = {
     "folded256_b8_band_dc4": dict(fold_cap=256, bf16_params=False, batch=8,
                                   guidance_interval=(0.2, 0.8),
                                   deep_cache_interval=4),
+    "folded256_b8_band_dc6": dict(fold_cap=256, bf16_params=False, batch=8,
+                                  guidance_interval=(0.2, 0.8),
+                                  deep_cache_interval=6),
     "folded256_b8_dpm32_s15_band_dc2": dict(fold_cap=256, bf16_params=False,
                                             batch=8, num_steps=32,
                                             sampler="dpm",
