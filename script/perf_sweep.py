@@ -112,6 +112,17 @@ VARIANTS = {
                                             embedding_scale=1.5,
                                             guidance_interval=(0.2, 0.8),
                                             deep_cache_interval=2),
+    "folded256_b8_dpm32_s15_band_dc3": dict(fold_cap=256, bf16_params=False,
+                                            batch=8, num_steps=32,
+                                            sampler="dpm",
+                                            embedding_scale=1.5,
+                                            guidance_interval=(0.2, 0.8),
+                                            deep_cache_interval=3),
+    # non-uniform cadence (deep_cache_refresh_mask pow=2: same refresh count
+    # as dc3, spacing denser at low sigma) — throughput should match dc3
+    "folded256_b8_band_nu3": dict(fold_cap=256, bf16_params=False, batch=8,
+                                  guidance_interval=(0.2, 0.8),
+                                  deep_cache_interval=3, deep_cache_pow=2.0),
     "train_plain": dict(fold_cap=0, train=True),
     "train_folded256": dict(fold_cap=256, train=True),
     "train_folded256_flash": dict(fold_cap=256, train=True, flash=True),
@@ -167,7 +178,7 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
         fused_stats: bool = False, guidance_interval=None,
         embedding_scale: float = 2.0, num_steps: int = NUM_STEPS,
         sampler: str = "ddim", deep_cache_interval: int = 0,
-        deep_split: int = 4) -> None:
+        deep_split: int = 4, deep_cache_pow: float = 1.0) -> None:
     if train:
         return run_train(name, fold_cap, flash)
     global BATCH
@@ -196,6 +207,7 @@ def run(name: str, fold_cap: int, bf16_params: bool = False,
             num_steps=num_steps, embedding_scale=embedding_scale,
             guidance_interval=guidance_interval, sampler=sampler,
             deep_cache_interval=deep_cache_interval, deep_split=deep_split,
+            deep_cache_pow=deep_cache_pow,
         )
 
     t0 = time.perf_counter()

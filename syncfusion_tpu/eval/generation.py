@@ -60,6 +60,7 @@ def generate_dataset(
     sampler: str = "ddim",
     deep_cache_interval: int = 0,
     deep_split: int = 4,
+    deep_cache_pow: float = 1.0,
     cut_prefix: bool = False,
     cond_text: bool = False,
     one_chunk_per_track: bool = False,
@@ -83,6 +84,7 @@ def generate_dataset(
             sampler=sampler,
             deep_cache_interval=deep_cache_interval,
             deep_split=deep_split,
+            deep_cache_pow=deep_cache_pow,
         )
 
     root_key = jax.random.key(seed)

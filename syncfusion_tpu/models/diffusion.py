@@ -157,12 +157,44 @@ def _normalize_deep_cache(deep_cache_interval: int, deep_split: int) -> int:
     return K
 
 
-def _cache_scan(net, step_update, carry0, idx, K):
+def deep_cache_refresh_mask(seg_len: int, K: int, pow: float = 1.0) -> list[bool]:
+    """Per-step deep-refresh mask for one sampler segment of ``seg_len``
+    steps with DeepCache interval ``K``.
+
+    ``pow=1`` is the uniform cadence (refresh at segment-local j % K == 0,
+    bitwise-identical to the schedule the round-4 quality gates validated).
+    ``pow != 1`` keeps the SAME refresh count (= ceil(seg_len/K), i.e. the
+    same compute) but spaces the refreshes by a power curve: segment-local
+    position ``j_k = floor(seg_len · (k/n)^(1/pow))``, so ``pow > 1``
+    concentrates refreshes toward the segment END — LOW sigma, where the
+    denoising trajectory curves hardest — and ``pow < 1`` toward the start
+    (high sigma).  This is the DeepCache paper's non-uniform 1-in-K variant
+    (Ma et al. 2023, arXiv:2312.00858 §4.2) with a single density knob.
+    The segment start always refreshes (a guidance-band boundary changes
+    the effective batch between B and 2B, so a stale cache there would be
+    wrong-shaped — see `_cache_scan`).
+    """
+    n = -(-seg_len // K)  # ceil: refresh count matches the uniform cadence
+    if pow == 1.0:
+        return [j % K == 0 for j in range(seg_len)]
+    mask = [False] * seg_len
+    prev = -1
+    for k in range(n):
+        j = int(seg_len * (k / n) ** (1.0 / pow))
+        j = min(max(j, prev + 1), seg_len - 1)
+        mask[j] = True
+        prev = j
+    return mask
+
+
+def _cache_scan(net, step_update, carry0, idx, refresh):
     """Run sampler steps ``idx`` (global indices) as ONE `lax.scan` with
-    deep-cache: the net runs FULL every K-th segment-local step (always at
-    the segment start, so a guidance-band boundary — where the effective
-    batch changes between B and 2B — never reuses a stale or wrong-shaped
-    cache) and on cached steps substitutes the previous deep feature.
+    deep-cache: the net runs FULL on steps whose ``refresh`` flag is set
+    (the first step always is, so a guidance-band boundary — where the
+    effective batch changes between B and 2B — never reuses a stale or
+    wrong-shaped cache) and on cached steps substitutes the previous deep
+    feature.  ``refresh`` is a static per-step bool mask aligned with
+    ``idx`` (see `deep_cache_refresh_mask`), scanned alongside it.
 
     ``net(x, i, cache, want_deep)`` takes the GLOBAL step index (the
     sampler wraps the sigma lookup); ``step_update(carry, i, v) -> carry``
@@ -172,14 +204,15 @@ def _cache_scan(net, step_update, carry0, idx, K):
     (jax.eval_shape — no compute); step 0's `full` branch overwrites it
     before any cached read.
     """
+    assert refresh[0], "segment start must refresh the deep cache"
     x0 = jax.tree_util.tree_leaves(carry0)[0]
     cache_sd = jax.eval_shape(
         lambda x: net(x, jnp.int32(0), None, True)[1], x0)
     cache0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
 
-    def step(carry_cache, ij):
+    def step(carry_cache, ir):
         carry, cache = carry_cache
-        i, j = ij
+        i, r = ir
         x = jax.tree_util.tree_leaves(carry)[0]
 
         def full(args):
@@ -191,11 +224,11 @@ def _cache_scan(net, step_update, carry0, idx, K):
             v, _ = net(x, i, cache, False)
             return v, cache
 
-        v, cache = jax.lax.cond(j % K == 0, full, cached, (x, cache))
+        v, cache = jax.lax.cond(r, full, cached, (x, cache))
         return (step_update(carry, i, v), cache), None
 
-    local = jnp.arange(idx.shape[0])
-    (carry, _), _ = jax.lax.scan(step, (carry0, cache0), (idx, local))
+    refresh = jnp.asarray(refresh, jnp.bool_)
+    (carry, _), _ = jax.lax.scan(step, (carry0, cache0), (idx, refresh))
     return carry
 
 
@@ -211,6 +244,7 @@ def v_sample(
     guidance_interval: Optional[tuple[float, float]] = None,
     deep_cache_interval: int = 0,
     deep_split: int = 0,
+    deep_cache_pow: float = 1.0,
 ) -> jax.Array:
     """Deterministic v-sampler from pure noise ``(B, L, C)``.
 
@@ -233,6 +267,8 @@ def v_sample(
     cached steps pay only the shallow levels (unet1d_folded.folded_apply
     docstring).  Requires an ``apply_fn`` supporting the deep kwargs (the
     folded path); the cache resets at guidance-band boundaries.
+    ``deep_cache_pow != 1`` switches to the non-uniform refresh cadence of
+    `deep_cache_refresh_mask` (same refresh count, power-curve spacing).
     """
     K = _normalize_deep_cache(deep_cache_interval, deep_split)
     net_cfg, net_plain, use_cfg = _make_nets(
@@ -252,7 +288,8 @@ def v_sample(
         idx = jnp.arange(start, end)
         if K:
             net_i = lambda x, i, cache, want: net(x, sigmas[i], cache, want)
-            return _cache_scan(net_i, update, x, idx, K)
+            mask = deep_cache_refresh_mask(end - start, K, deep_cache_pow)
+            return _cache_scan(net_i, update, x, idx, mask)
 
         def step(x, i):
             v, _ = net(x, sigmas[i])
@@ -324,6 +361,7 @@ def dpm_sample(
     guidance_interval: Optional[tuple[float, float]] = None,
     deep_cache_interval: int = 0,
     deep_split: int = 0,
+    deep_cache_pow: float = 1.0,
 ) -> jax.Array:
     """DPM-Solver++(2M) sampler on the same v-diffusion ODE as `v_sample`.
 
@@ -366,7 +404,8 @@ def dpm_sample(
         idx = jnp.arange(start, end)
         if K:
             net_i = lambda x, i, cache, want: net(x, sig[i], cache, want)
-            return _cache_scan(net_i, update, carry, idx, K)
+            mask = deep_cache_refresh_mask(end - start, K, deep_cache_pow)
+            return _cache_scan(net_i, update, carry, idx, mask)
 
         def step(carry, i):
             v, _ = net(carry[0], sig[i])

@@ -177,6 +177,7 @@ class SyncFusionDiffusion:
         sampler: str = "ddim",
         deep_cache_interval: int = 0,
         deep_split: int = 4,
+        deep_cache_pow: float = 1.0,
     ) -> jax.Array:
         """Generate waveforms from noise (B, L, 1) conditioned on onsets +
         embedding (reference eval protocol: 150 steps, scale 2.0 —
@@ -195,6 +196,9 @@ class SyncFusionDiffusion:
         recompute only every K-th sampler step (models/diffusion.py,
         unet1d_folded.folded_apply).  Folded execution path only
         (``fold_cap`` set): the feature lives in the folded apply.
+        ``deep_cache_pow != 1`` switches to the non-uniform cadence of
+        models/diffusion.deep_cache_refresh_mask (same refresh count;
+        pow > 1 refreshes denser at low sigma).
 
         With ``fold_cap`` set, the whole scan carry stays in folded layout:
         noise is folded once, the context pyramid is folded once (outside
@@ -204,7 +208,8 @@ class SyncFusionDiffusion:
         context = self.encode_context(params["encoder"], onsets)
         sample_fn = {"ddim": v_sample, "dpm": dpm_sample}[sampler]
         deep_kw = (
-            dict(deep_cache_interval=deep_cache_interval, deep_split=deep_split)
+            dict(deep_cache_interval=deep_cache_interval, deep_split=deep_split,
+                 deep_cache_pow=deep_cache_pow)
             if deep_cache_interval and deep_cache_interval > 1
             else {}
         )

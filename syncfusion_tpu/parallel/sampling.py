@@ -44,6 +44,7 @@ class DataParallelSampler:
         sampler: str = "ddim",
         deep_cache_interval: int = 0,
         deep_split: int = 4,
+        deep_cache_pow: float = 1.0,
     ):
         self.model = model
         self.mesh = mesh
@@ -60,6 +61,7 @@ class DataParallelSampler:
                 num_steps=num_steps, embedding_scale=embedding_scale,
                 guidance_interval=guidance_interval, sampler=sampler,
                 deep_cache_interval=deep_cache_interval, deep_split=deep_split,
+                deep_cache_pow=deep_cache_pow,
             ),
             in_shardings=(replicated, sharded, sharded, sharded),
             out_shardings=sharded,

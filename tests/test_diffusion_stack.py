@@ -282,6 +282,32 @@ def test_guidance_band_mask_includes_exact_boundary_steps():
         assert ks[-1] == int(round(0.8 * n))
 
 
+def test_deep_cache_refresh_mask_schedules():
+    """Uniform pow=1 is bitwise j % K == 0 (the round-4-validated cadence);
+    pow != 1 keeps the refresh COUNT (same compute) but re-spaces: pow > 1
+    concentrates refreshes toward the segment end (low sigma)."""
+    from syncfusion_tpu.models.diffusion import deep_cache_refresh_mask
+
+    for seg_len, K in [(150, 3), (91, 3), (30, 2), (7, 4), (1, 3), (5, 2)]:
+        uni = deep_cache_refresh_mask(seg_len, K)
+        assert uni == [j % K == 0 for j in range(seg_len)]
+        for pow in (0.5, 2.0):
+            nu = deep_cache_refresh_mask(seg_len, K, pow)
+            assert len(nu) == seg_len and nu[0]
+            assert sum(nu) == sum(uni), (seg_len, K, pow)
+
+    # pow=2 on a long segment: gaps shrink toward the end (denser refresh
+    # at low sigma), and the converse for pow=0.5.
+    nu = deep_cache_refresh_mask(150, 3, 2.0)
+    idx = [j for j, m in enumerate(nu) if m]
+    gaps = [b - a for a, b in zip(idx, idx[1:])]
+    assert gaps[0] > gaps[-1] and gaps[0] > 3 and gaps[-1] <= 2
+    nu_lo = deep_cache_refresh_mask(150, 3, 0.5)
+    idx_lo = [j for j, m in enumerate(nu_lo) if m]
+    gaps_lo = [b - a for a, b in zip(idx_lo, idx_lo[1:])]
+    assert gaps_lo[0] < gaps_lo[-1]
+
+
 # ---------------------------------------------------------------------------
 # DPM-Solver++(2M) sampler (models/diffusion.dpm_sample)
 # ---------------------------------------------------------------------------

@@ -297,6 +297,25 @@ def test_deep_cache_sampling():
             diff = np.abs(np.asarray(out) - np.asarray(base)).max()
             assert 0 < diff < 1.0, (sampler, band, diff)
 
+    # non-uniform cadence (deep_cache_pow != 1): same refresh count, valid
+    # output, different trajectory from both no-cache and uniform cadence;
+    # pow=1.0 is exactly the default path.
+    base = folded.sample(params, noise, onsets, emb, num_steps=6,
+                         embedding_scale=2.0)
+    uni = folded.sample(params, noise, onsets, emb, num_steps=6,
+                        embedding_scale=2.0, deep_cache_interval=2,
+                        deep_split=2)
+    uni_pow1 = folded.sample(params, noise, onsets, emb, num_steps=6,
+                             embedding_scale=2.0, deep_cache_interval=2,
+                             deep_split=2, deep_cache_pow=1.0)
+    np.testing.assert_array_equal(np.asarray(uni), np.asarray(uni_pow1))
+    nu = folded.sample(params, noise, onsets, emb, num_steps=6,
+                       embedding_scale=2.0, deep_cache_interval=2,
+                       deep_split=2, deep_cache_pow=2.0)
+    assert np.all(np.isfinite(np.asarray(nu)))
+    assert np.abs(np.asarray(nu) - np.asarray(base)).max() > 0
+    assert np.abs(np.asarray(nu) - np.asarray(uni)).max() > 0
+
     plain = SyncFusionDiffusion.from_config(cfg)
     with pytest.raises(ValueError, match="folded"):
         plain.sample(
