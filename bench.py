@@ -3,18 +3,29 @@
 Protocol (reference eval semantics, exp/evaluate_gh_gen.yaml): generate
 2^18-sample (5.46 s @ 48 kHz) waveforms with the full-size diffusion model —
 onset-encoder context + CLAP-token conditioning, 150 v-sampler steps,
-CFG scale 2.0 (cond+uncond folded into one batched forward) restricted to
-the sigma band [0.2, 0.8] (guidance interval, models/diffusion.v_sample):
-cond-only forwards outside the band.  Quality-validated serving defaults —
-on the rehearsal eval protocol the band IMPROVES FAD proxy 67.3 -> 22.1 and
-onset count-match 0.73 -> 0.89 over always-on CFG (rehearsal/
-stage2c_gen_gi0208.log) while cutting compute, and DeepCache deep-feature
-reuse (K=3, arXiv:2312.00858; deep half of the folded UNet recomputed every
-3rd step via lax.cond inside the scan) is quality-neutral-or-better across
-two seeds at this exact composition (docs/REHEARSAL.md §11, queue 26:
-FAD 23.61->21.73 seed 0, 25.68->23.41 seed 1, onset metrics identical)
-for +72% throughput.  Always-on CFG with no cache remains the parity
-setting in the eval configs.
+CFG scale 2.0 (cond+uncond folded into one batched forward).
+
+TWO rows are reported in the one JSON line (the serving default is the
+headline; `parity_protocol` is the same model/steps under the reference's
+exact protocol so protocol drift is visible in the artifact itself):
+
+* serving default — CFG restricted to the sigma band [0.2, 0.8]
+  (guidance interval, models/diffusion.v_sample): on the rehearsal eval
+  protocol the band IMPROVES FAD proxy 67.3 -> 22.1 and onset count-match
+  0.73 -> 0.89 over always-on CFG (rehearsal/stage2c_gen_gi0208.log) while
+  cutting compute; plus DeepCache deep-feature reuse (K=3, arXiv:2312.00858;
+  deep half of the folded UNet recomputed every 3rd step via lax.cond inside
+  the scan), quality-neutral-or-better on proxy FAD across two seeds at this
+  exact composition (docs/REHEARSAL.md §11, queue 26: FAD 23.61->21.73
+  seed 0, 25.68->23.41 seed 1; onset metrics identical in seed 1 and within
+  seed noise in seed 0) for +72% throughput.
+* parity protocol — always-on CFG, no cache: the literal reference eval
+  setting (exp/evaluate_gh_gen.yaml:21-23), kept in the eval configs.
+
+`roofline` is param-traffic telemetry: HBM bytes/s implied by the weight
+reads alone (bf16 stream per UNet forward; cached steps read only the
+shallow levels) — a LOWER bound on achieved bandwidth (activations excluded),
+reported as a fraction of the v5e HBM peak (819 GB/s).
 
 Reported as clips/min/chip normalized to 8-second clips
 (driver target: ≥50 clips/min on v5e-8 ⇒ 6.25 clips/min/chip baseline).
@@ -25,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 import jax
@@ -46,9 +58,51 @@ BATCH = 8  # b8 + guidance interval beats b4 always-CFG (script/perf_sweep.py:
 # cond-only saving - folded256_b4_s1 diagnostic)
 GUIDANCE_INTERVAL = (0.2, 0.8)
 DEEP_CACHE_INTERVAL = 3  # quality gate: REHEARSAL §11 queue 26 (two seeds)
+DEEP_SPLIT = 4
+HBM_PEAK_GB_S = 819.0  # TPU v5e (v5 lite) HBM bandwidth
+
+
+def _timed(fn, params, noise, runs: int = 5) -> list[float]:
+    """Compile + warm up, then time `runs` calls, each synced by pulling a
+    scalar (block_until_ready can return early over this tunnel — measured)."""
+    float(jnp.sum(fn(params, noise)))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = fn(params, noise)
+        float(jnp.sum(out))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times
+
+
+def _unet_param_bytes(params: dict) -> tuple[int, int]:
+    """(shallow, deep) UNet parameter bytes per bf16-streamed forward.
+
+    Deep = modules of levels >= DEEP_SPLIT plus the bottleneck (`mid_*`) —
+    exactly the half DeepCache skips on cached steps
+    (models/unet1d_folded.folded_apply).  Level index parsed from the
+    module naming scheme down_*_{i}* / up_*_{i}*.
+    """
+    tree = params["unet"]
+    tree = tree.get("params", tree)
+    shallow = deep = 0
+    lvl_re = re.compile(r"^(?:down|up)(?:_res|_attn|_xattn)?_(\d+)")
+    for name, sub in tree.items():
+        n = sum(x.size for x in jax.tree_util.tree_leaves(sub))
+        m = lvl_re.match(name)
+        if name.startswith("mid_") or (m and int(m.group(1)) >= DEEP_SPLIT):
+            deep += n
+        else:
+            shallow += n
+    return shallow * 2, deep * 2  # bf16 stream
 
 
 def main() -> None:
+    from syncfusion_tpu.models.diffusion import (
+        deep_cache_refresh_mask,
+        guidance_band_mask,
+    )
     from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 
     # fold_cap=256: folded-layout execution of the shallow UNet levels
@@ -64,7 +118,7 @@ def main() -> None:
     embedding = jax.random.normal(jax.random.key(2), (BATCH, 1, 512), jnp.float32)
 
     @jax.jit
-    def generate(params, noise):
+    def generate_serving(params, noise):
         return model.sample(
             params, noise, onsets, embedding,
             num_steps=NUM_STEPS, embedding_scale=2.0,
@@ -72,23 +126,38 @@ def main() -> None:
             deep_cache_interval=DEEP_CACHE_INTERVAL,
         )
 
-    # compile + warmup; scalar extraction is the reliable device sync over
-    # this tunnel (block_until_ready can return early on pytrees — measured)
-    float(jnp.sum(generate(params, noise)))
-
-    # 5 timed runs, each individually synced; report the median (robust to a
-    # straggler tunnel hiccup) alongside min/max for the record.
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = generate(params, noise)
-        float(jnp.sum(out))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
+    @jax.jit
+    def generate_parity(params, noise):
+        return model.sample(
+            params, noise, onsets, embedding,
+            num_steps=NUM_STEPS, embedding_scale=2.0,
+        )
 
     audio_seconds = BATCH * LENGTH / SAMPLE_RATE
-    clips_per_min = (audio_seconds / CLIP_SECONDS) / dt * 60.0
+    clips = audio_seconds / CLIP_SECONDS
+
+    serving_t = _timed(generate_serving, params, noise)
+    parity_t = _timed(generate_parity, params, noise)
+    dt = serving_t[len(serving_t) // 2]
+    dt_parity = parity_t[len(parity_t) // 2]
+
+    # --- roofline telemetry (weight-read lower bound on HBM traffic) ------
+    shallow_b, deep_b = _unet_param_bytes(params)
+    band = guidance_band_mask(NUM_STEPS, *GUIDANCE_INTERVAL)
+    # full (deep-refresh) steps per contiguous band segment, serving cadence
+    n_full = 0
+    start = 0
+    while start < NUM_STEPS:
+        end = start
+        while end < NUM_STEPS and band[end] == band[start]:
+            end += 1
+        n_full += sum(deep_cache_refresh_mask(end - start, DEEP_CACHE_INTERVAL))
+        start = end
+    serving_gb = (NUM_STEPS * shallow_b + n_full * deep_b) / 1e9
+    parity_gb = NUM_STEPS * (shallow_b + deep_b) / 1e9
+
+    clips_per_min = clips / dt * 60.0
+    parity_per_min = clips / dt_parity * 60.0
     print(
         json.dumps(
             {
@@ -96,10 +165,31 @@ def main() -> None:
                 "value": round(clips_per_min, 2),
                 "unit": "clips/min/chip",
                 "vs_baseline": round(clips_per_min / BASELINE_CLIPS_PER_MIN_PER_CHIP, 3),
-                "runs": len(times),
+                "runs": len(serving_t),
                 "median_s": round(dt, 3),
-                "min_s": round(times[0], 3),
-                "max_s": round(times[-1], 3),
+                "min_s": round(serving_t[0], 3),
+                "max_s": round(serving_t[-1], 3),
+                "parity_protocol": {
+                    "value": round(parity_per_min, 2),
+                    "unit": "clips/min/chip",
+                    "vs_baseline": round(
+                        parity_per_min / BASELINE_CLIPS_PER_MIN_PER_CHIP, 3
+                    ),
+                    "median_s": round(dt_parity, 3),
+                    "note": "always-on CFG, no cache (exp/evaluate_gh_gen.yaml)",
+                },
+                "roofline": {
+                    "weight_read_gb_per_call": round(serving_gb, 1),
+                    "achieved_gb_s_lower_bound": round(serving_gb / dt, 1),
+                    "pct_hbm_peak": round(100 * serving_gb / dt / HBM_PEAK_GB_S, 1),
+                    "parity_achieved_gb_s_lower_bound": round(
+                        parity_gb / dt_parity, 1
+                    ),
+                    "parity_pct_hbm_peak": round(
+                        100 * parity_gb / dt_parity / HBM_PEAK_GB_S, 1
+                    ),
+                    "note": "bf16 weight stream only; activations excluded",
+                },
             }
         )
     )
