@@ -59,8 +59,15 @@ cell() {
     experiment.num_steps=150 "+experiment.guidance_interval=[0.2,0.8]" \
     "$@" \
     experiment_path=./output/experiments/gh-gen-ddim150-${name}
-  run "curve_onset_ddim150_${name}" 600 sh script/evaluate_onset.sh \
-    --gen_dir output/experiments/gh-gen-ddim150-${name}
+  # ADVICE r4: only score onset metrics if the gen cell actually produced
+  # output — an empty --gen_dir silently scores garbage.
+  gdir=output/experiments/gh-gen-ddim150-${name}
+  if [ -d "$gdir" ] && [ -n "$(ls -A "$gdir" 2>/dev/null)" ]; then
+    run "curve_onset_ddim150_${name}" 600 sh script/evaluate_onset.sh \
+      --gen_dir "$gdir"
+  else
+    echo "=== [curve_onset_ddim150_${name}] SKIPPED: empty gen dir ==="
+  fi
 }
 
 cell band

@@ -10,7 +10,11 @@
 
 cd "$(dirname "$0")/.." || exit 1
 
-RUN1=logs/runs/2026-08-19-20-15-18
+# Rediscover the queue-26 run dir from its retrain log (ADVICE r4: the
+# hardcoded path is gitignored and wiped on machine reset); fall back to the
+# path this queue originally ran against.
+RUN1=$(sed -n 's/.*run dir: //p' rehearsal/stage1_retrain.log 2>/dev/null | head -1)
+[ -n "$RUN1" ] || RUN1=logs/runs/2026-08-19-20-15-18
 if [ -z "$(ls -A "$RUN1/ckpts" 2>/dev/null)" ]; then
   echo "checkpoint dir $RUN1/ckpts missing — aborting"; exit 1
 fi

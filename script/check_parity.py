@@ -19,6 +19,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# Honor SYNCFUSION_PLATFORM=cpu + persistent compile cache — lets the parity
+# gates (run_parity.py subprocesses) run while the exclusive TPU tunnel is
+# busy, and in CI against synthesized weight files.
+from syncfusion_tpu.core.cache import enable_compile_cache
+enable_compile_cache()
+
 import numpy as np
 
 

@@ -119,6 +119,26 @@ class Checkpointer:
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
         self._join()  # at most one save in flight; surface prior errors
 
+        if jax.process_count() > 1:
+            # Multi-host: orbax coordinates the distributed save itself —
+            # every process writes exactly its addressable shards, so the
+            # single-host host-drain pipeline (which device_gets every leaf)
+            # does not apply.  The jitted snapshot still defends against the
+            # caller's donated buffers; the commit is synchronous because all
+            # processes must participate in the same save collectively.
+            leaves, treedef = jax.tree_util.tree_flatten(state)
+            is_dev = [isinstance(x, jax.Array) for x in leaves]
+            dev_leaves = [x for x, d in zip(leaves, is_dev) if d]
+            snap = iter(self._snapshot(dev_leaves) if dev_leaves else [])
+            tree = jax.tree_util.tree_unflatten(
+                treedef, [next(snap) if d else x for x, d in zip(leaves, is_dev)]
+            )
+            self._mgr.save(
+                step, args=ocp.args.StandardSave(tree), metrics=metrics or None
+            )
+            self._mgr.wait_until_finished()
+            return
+
         leaves, treedef = jax.tree_util.tree_flatten(state)
         is_dev = [isinstance(x, jax.Array) for x in leaves]
         dev_leaves = [x for x, d in zip(leaves, is_dev) if d]

@@ -117,6 +117,45 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(_put, batch)
 
 
+def shard_global_array(x: Any, mesh: Mesh, spec: Optional[P] = None) -> jax.Array:
+    """Place a host array whose FULL value every process holds onto the mesh.
+
+    Single-process this is ``device_put``.  Multi-process, ``device_put``
+    cannot target non-addressable devices, so each process slices out and
+    uploads exactly the shards its local devices own
+    (``addressable_devices_indices_map``) and the global array is assembled
+    with ``make_array_from_single_device_arrays`` — no cross-host traffic.
+    Used by the serving path, where every host derives the same global
+    noise/conditioning deterministically from a shared seed.
+    """
+    x = np.asarray(x)
+    if spec is None:
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
+    arrs = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, arrs)
+
+
+def local_rows(arr: jax.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Pull THIS process's rows of a batch-sharded global array.
+
+    Returns ``(rows, global_indices)`` with rows ordered by global index —
+    the multi-host serving contract: each host persists the clips its own
+    chips generated (no all-gather of waveforms over DCN).
+    """
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    idx = np.concatenate(
+        [np.arange(s.index[0].start or 0, s.index[0].stop) for s in shards]
+    )
+    # adjacent devices may hold replicas of the same rows (e.g. model axis)
+    uniq, first = np.unique(idx, return_index=True)
+    return rows[first], uniq
+
+
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     """Replicate a parameter/opt-state pytree across the whole mesh."""
     sharding = NamedSharding(mesh, P())

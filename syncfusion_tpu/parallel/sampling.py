@@ -15,7 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from syncfusion_tpu.core.mesh import DATA_AXIS, shard_batch
+from syncfusion_tpu.core.mesh import (
+    DATA_AXIS, local_rows, shard_batch, shard_global_array,
+)
 from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 
 
@@ -74,12 +76,46 @@ class DataParallelSampler:
         embedding: np.ndarray,
         key: jax.Array,
     ) -> np.ndarray:
-        """onsets (B, L, 1), embedding (B, 1, E) → waveforms (B, L)."""
+        """onsets (B, L, 1), embedding (B, 1, E) → waveforms (B, L).
+
+        Single-process: returns all ``B = per_chip_batch · n_chips`` clips.
+        Multi-process (multi-host DCN serving): every process passes the
+        same GLOBAL conditioning batch + key (derived from a shared seed);
+        each host uploads only the shards its chips own and gets back only
+        the rows its chips generated — waveforms never cross hosts.  Use
+        ``local_indices(B)`` to know which global rows those are.
+        """
         assert onsets.shape[0] == self.batch, (
             f"expected global batch {self.batch}, got {onsets.shape[0]}"
         )
-        noise = jax.random.normal(key, (self.batch, self.length, 1))
-        noise = jax.device_put(noise, NamedSharding(self.mesh, P(DATA_AXIS)))
-        batch = shard_batch({"onsets": onsets, "embedding": embedding}, self.mesh)
-        out = self._sample(params, noise, batch["onsets"], batch["embedding"])
-        return np.asarray(out)[:, :, 0]
+        if jax.process_count() == 1:
+            # noise stays on device: an 8 MB host round trip per batch would
+            # cost ~0.6 s over the ~25 MB/s chip tunnel
+            noise = jax.random.normal(key, (self.batch, self.length, 1))
+            noise = jax.device_put(noise, NamedSharding(self.mesh, P(DATA_AXIS)))
+            batch = shard_batch({"onsets": onsets, "embedding": embedding},
+                                self.mesh)
+            batch["noise"] = noise
+        else:
+            # every host derives the identical global noise from the shared
+            # key and uploads only its own shards
+            noise = np.asarray(
+                jax.random.normal(key, (self.batch, self.length, 1)))
+            batch = {"onsets": onsets, "embedding": embedding, "noise": noise}
+            batch = {k: shard_global_array(v, self.mesh) for k, v in batch.items()}
+        out = self._sample(params, batch["noise"], batch["onsets"],
+                           batch["embedding"])
+        if jax.process_count() == 1:
+            return np.asarray(out)[:, :, 0]
+        rows, _ = local_rows(out)
+        return rows[:, :, 0]
+
+    def local_indices(self) -> np.ndarray:
+        """Global row indices this process's chips own (multi-host serving)."""
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        idx_map = sharding.addressable_devices_indices_map(
+            (self.batch, self.length, 1))
+        idx = np.concatenate(
+            [np.arange(s[0].start or 0, s[0].stop) for s in idx_map.values()]
+        )
+        return np.unique(idx)
