@@ -63,16 +63,24 @@ def make_transform(cfg, augment: bool) -> FrameTransform:
     """Single source of truth for the frame transform (the trainer reads
     jitter strengths from the SAME instance the dataset uses).
 
-    uint8 wire format: 4x less H2D per clip batch; the trainer normalizes
-    on device (OnsetTrainer._prep_frames).  device_jitter: ColorJitter runs
+    Wire format (``data.wire``): "uint8" (default) ships raw uint8 RGB —
+    4x less H2D per clip batch than float; "yuv420" ships packed planar
+    4:2:0 — HALF of uint8 again (the augment recipe is bound by the
+    ~25 MB/s tunnel, docs/REHEARSAL.md §9, and the GH source JPEGs are
+    4:2:0 already); "float" ships host-normalized float (reference
+    semantics, debugging).  The trainer decodes+normalizes on device
+    (OnsetTrainer._prep_frames).  device_jitter: ColorJitter runs
     inside the jitted train step (host jitter measured ~5 s/step at bs 16
     vs 164 ms step compute — the augment recipe was host-bound); the cheap
     RandomCrop stays host-side so the wire stays at crop size."""
     d = cfg.data
     size = d.get("frame_size", 112)
+    wire = d.get("wire", "uint8")
+    assert wire in ("uint8", "yuv420", "float"), wire
     return FrameTransform(
         augment=augment, size=size, resize_to=round(size * 128 / 112),
-        wire_uint8=True, device_jitter=d.get("device_jitter", True),
+        wire_uint8=(wire != "float"), wire_yuv420=(wire == "yuv420"),
+        device_jitter=d.get("device_jitter", True),
     )
 
 

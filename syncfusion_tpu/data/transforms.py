@@ -133,6 +133,34 @@ def normalize(frames: np.ndarray) -> np.ndarray:
     return (frames - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def rgb_to_yuv420(frames: np.ndarray) -> np.ndarray:
+    """float [0,1] RGB ``(..., H, W, 3)`` → packed planar 4:2:0 uint8
+    ``(..., H + H//2, W)``.
+
+    Layout: rows ``[0:H]`` = full-resolution luma Y; rows ``[H:]`` = the
+    quarter-resolution chroma planes side by side (``U | V``, each
+    ``H/2 × W/2``).  BT.601 full-range YPbPr with Pb/Pr biased by +0.5.
+    Half the bytes of the uint8 RGB wire — the onset augment recipe is
+    bound by the ~25 MB/s host↔chip tunnel (docs/REHEARSAL.md §9), and the
+    source GH frames are 4:2:0 JPEGs already, so the chroma detail this
+    drops never existed.  Decoded back to RGB on device inside the jitted
+    step (OnsetTrainer._decode_wire).  H and W must be even.
+    """
+    r, g, b = frames[..., 0], frames[..., 1], frames[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    pb = (b - y) / 1.772 + 0.5
+    pr = (r - y) / 1.402 + 0.5
+    H, W = y.shape[-2], y.shape[-1]
+
+    def down(c):  # 2×2 mean pool
+        c = c.reshape(*c.shape[:-2], H // 2, 2, W // 2, 2)
+        return c.mean(axis=(-3, -1))
+
+    uv = np.concatenate([down(pb), down(pr)], axis=-1)  # (..., H/2, W)
+    packed = np.concatenate([y, uv], axis=-2)           # (..., H+H/2, W)
+    return (np.clip(packed, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
 @dataclasses.dataclass
 class FrameTransform:
     """Composed per-chunk transform pipeline.
@@ -164,6 +192,10 @@ class FrameTransform:
     # cheap RandomCrop stays host-side (a uint8 slice), keeping the wire at
     # crop size.
     device_jitter: bool = False
+    # 4:2:0 wire format (takes precedence over wire_uint8): HALF the bytes
+    # of uint8 RGB — see rgb_to_yuv420.  Requires the trainer's device-side
+    # decode (it keys on the packed array's missing channel dim).
+    wire_yuv420: bool = False
 
     def resize_stage(self, frames: np.ndarray) -> np.ndarray:
         """Deterministic prefix (Resize) — cacheable across epochs."""
@@ -182,6 +214,8 @@ class FrameTransform:
                     frames, rng,
                     self.brightness, self.contrast, self.saturation, self.hue,
                 )
+        if self.wire_yuv420:
+            return rgb_to_yuv420(frames)
         if self.wire_uint8:
             return (frames * 255.0 + 0.5).astype(np.uint8)
         return normalize(frames)

@@ -153,38 +153,76 @@ class OnsetTrainer:
         )
 
     @staticmethod
-    def _prep_frames(frames: jax.Array) -> jax.Array:
-        """uint8 wire format → ImageNet-normalized float ON DEVICE.
+    def _yuv420_to_rgb(packed: jax.Array) -> jax.Array:
+        """Packed planar 4:2:0 uint8 ``(B, T, H+H//2, W)`` → RGB [0,1]
+        ``(B, T, H, W, 3)`` — inverse of transforms.rgb_to_yuv420, run
+        on device inside the jitted step (chroma upsample is a cheap
+        nearest-neighbor repeat; XLA fuses the 3×3 color matrix into the
+        stem conv's input)."""
+        Hp, W = packed.shape[-2], packed.shape[-1]
+        H = Hp * 2 // 3
+        f = packed.astype(jnp.float32) / 255.0
+        y = f[..., :H, :]
+        uv = f[..., H:, :]
+        pb = uv[..., :, : W // 2] - 0.5
+        pr = uv[..., :, W // 2:] - 0.5
+        pb = jnp.repeat(jnp.repeat(pb, 2, axis=-1), 2, axis=-2)
+        pr = jnp.repeat(jnp.repeat(pr, 2, axis=-1), 2, axis=-2)
+        r = y + 1.402 * pr
+        b = y + 1.772 * pb
+        g = (y - 0.299 * r - 0.114 * b) / 0.587
+        return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
 
-        Counterpart of ``FrameTransform(wire_uint8=True)``: the host ships
-        raw uint8 pixels (4x less H2D traffic) and the normalize runs inside
-        the jitted step, where XLA fuses it into the first conv's input.
-        Float inputs are already normalized host-side and pass through."""
-        if frames.dtype != jnp.uint8:
+    @staticmethod
+    def _decode_wire(frames: jax.Array):
+        """Wire format → RGB [0,1] on device, or None if the input is
+        already normalized float (host-side Normalize).
+
+        Discriminated structurally: RGB wires carry a trailing channel dim
+        of 3; the packed YUV 4:2:0 wire has none (its trailing dim is the
+        frame width, never 3).  uint8 + channels = raw RGB pixels (4× less
+        than float), uint8 without = packed 4:2:0 (8× less), float =
+        normalized passthrough."""
+        if frames.dtype == jnp.uint8 and frames.shape[-1] != 3:
+            return OnsetTrainer._yuv420_to_rgb(frames)
+        if frames.dtype == jnp.uint8:
+            return frames.astype(jnp.float32) / 255.0
+        return None
+
+    @staticmethod
+    def _prep_frames(frames: jax.Array) -> jax.Array:
+        """Wire format → ImageNet-normalized float ON DEVICE.
+
+        Counterpart of ``FrameTransform(wire_uint8=True / wire_yuv420=True)``:
+        the host ships quantized pixels (4× / 8× less H2D traffic than
+        normalized float) and the decode+normalize runs inside the jitted
+        step, where XLA fuses it into the first conv's input.  Float inputs
+        are already normalized host-side and pass through."""
+        f = OnsetTrainer._decode_wire(frames)
+        if f is None:
             return frames
         from syncfusion_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-        f = frames.astype(jnp.float32) / 255.0
         return (f - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
     def _train_frames(self, frames: jax.Array, key) -> jax.Array:
-        """Train-time frame prep: uint8 → [0,1] float, on-device ColorJitter
-        (when configured), ImageNet normalize — all inside the jitted step."""
+        """Train-time frame prep: wire decode → [0,1] float, on-device
+        ColorJitter (when configured), ImageNet normalize — all in-jit."""
         if self.jitter is None:
             return self._prep_frames(frames)
         # float inputs are already ImageNet-NORMALIZED host-side
         # (FrameTransform.finish) — jittering them as [0,1] pixels would be
-        # garbage; the device-jitter path requires the uint8 wire format.
-        assert frames.dtype == jnp.uint8, (
-            "OnsetTrainer(jitter=...) needs raw uint8 frames "
-            "(FrameTransform(wire_uint8=True, device_jitter=True)); got "
-            f"{frames.dtype}"
+        # garbage; the device-jitter path requires a quantized wire format.
+        f = self._decode_wire(frames)
+        assert f is not None, (
+            "OnsetTrainer(jitter=...) needs a quantized frame wire "
+            "(FrameTransform(wire_uint8=True or wire_yuv420=True, "
+            f"device_jitter=True)); got float {frames.dtype}"
         )
         from syncfusion_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
         from syncfusion_tpu.ops.augment import color_jitter_device
 
-        f = color_jitter_device(frames.astype(jnp.float32) / 255.0, key,
-                                *self.jitter)
+        f = color_jitter_device(f, key, *self.jitter)
         return (f - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
     def _loss(self, params, batch_stats, batch, key):

@@ -33,6 +33,8 @@ _WORKER = textwrap.dedent(
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", %(repo)r + "/.jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
     import jax.numpy as jnp
     import numpy as np
@@ -124,6 +126,8 @@ _SERVE_WORKER = textwrap.dedent(
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", %(repo)r + "/.jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
     import jax.numpy as jnp
     import numpy as np

@@ -124,3 +124,66 @@ def test_wire_uint8_matches_f32_path():
     np.testing.assert_array_equal(
         np.asarray(OnsetTrainer._prep_frames(jnp.asarray(ref))), ref
     )
+
+
+def test_wire_yuv420_matches_f32_path():
+    """Packed 4:2:0 wire + on-device decode ≡ host Normalize on
+    chroma-smooth content (constant 2×2 blocks → the subsample is exact and
+    only the uint8 quantization of Y/Pb/Pr remains).  VERDICT r4 #6: this
+    wire is HALF the uint8 RGB bytes over the ~25 MB/s tunnel."""
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.train.onset_trainer import OnsetTrainer
+
+    rng = np.random.default_rng(0)
+    # piecewise-constant 2x2 blocks: chroma subsampling loses nothing
+    x = np.repeat(np.repeat(rng.random((2, 4, 4, 3)), 2, 1), 2, 2).astype(np.float32)
+    t_f32 = FrameTransform(augment=False, size=8)
+    t_yuv = FrameTransform(augment=False, size=8, wire_yuv420=True)
+    ref = t_f32(x)
+    wire = t_yuv(x)
+    assert wire.dtype == np.uint8 and wire.shape == (2, 12, 8)
+    assert wire.nbytes * 2 == x.size  # half the bytes of the uint8 RGB wire
+    dev = np.asarray(OnsetTrainer._prep_frames(jnp.asarray(wire)))
+    assert dev.shape == ref.shape
+    # error budget: uint8 quantization of Y + Pb + Pr propagated through the
+    # color matrix (|coef| sums ≈ 3.6) and 1/std normalization
+    assert np.max(np.abs(dev - ref)) < 3.6 * (0.5 / 255.0) / 0.224 + 1e-5
+
+    # arbitrary (non-smooth) content: decode still bounded — chroma detail
+    # above Nyquist is gone but luma survives to quantization
+    x2 = rng.random((1, 8, 8, 3)).astype(np.float32)
+    wire2 = t_yuv(x2)
+    rgb2 = np.asarray(OnsetTrainer._yuv420_to_rgb(jnp.asarray(wire2)))
+    y_ref = x2 @ np.array([0.299, 0.587, 0.114], np.float32)
+    y_got = rgb2 @ np.array([0.299, 0.587, 0.114], np.float32)
+    assert np.max(np.abs(y_got - y_ref)) < 2.5 / 255.0
+
+
+def test_train_step_on_yuv420_wire():
+    """End-to-end: the jitted train step accepts the packed 4:2:0 wire with
+    the on-device ColorJitter augment (the augment-recipe serving shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncfusion_tpu.models.onset_net import VideoOnsetNet
+    from syncfusion_tpu.train.onset_trainer import OnsetTrainer
+
+    rng = np.random.default_rng(1)
+    frames = rng.random((2, 4, 16, 16, 3)).astype(np.float32)
+    packed = np.stack([FrameTransform(size=16, wire_yuv420=True)(f)
+                       for f in frames])
+    assert packed.shape == (2, 4, 24, 16)
+    labels = (rng.uniform(size=(2, 4)) > 0.7).astype(np.float32)
+
+    trainer = OnsetTrainer(VideoOnsetNet(layers=(1, 1, 1, 1)),
+                           jitter=(0.4, 0.2, 0.4, 0.1))
+    state = trainer.init(jax.random.key(0), frames_shape=(1, 4, 16, 16, 3))
+    state, metrics, logits = trainer.train_step(
+        state, {"frames": packed, "label": labels}, np.uint32(7))
+    assert np.isfinite(float(metrics["loss/train"]))
+    assert np.asarray(logits).shape == (2, 4)
+
+    # eval forward on the same wire
+    out = np.asarray(trainer.forward(state, jnp.asarray(packed)))
+    assert out.shape == (2, 4) and np.isfinite(out).all()
