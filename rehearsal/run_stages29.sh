@@ -34,6 +34,11 @@ run() {
   echo "=== [$rname] exit=$? $(date -u +%H:%M:%S) ==="
 }
 
+# -- 0b. smoke the new two-row bench format on the chip (it was rewritten
+#        after the last on-chip run; the driver's round-end bench must not be
+#        its first execution) ---------------------------------------------------
+run bench_smoke 1800 python bench.py
+
 # -- A. augment recipe on the 4:2:0 wire + test ------------------------------
 run augment_yuv_train 5400 sh script/train_onset_model_gh_augment.sh \
   -c cfg/trainer/trainer-onset-rehearsal.yaml -c cfg/data/wire-yuv420.yaml
