@@ -13,12 +13,13 @@ exact protocol so protocol drift is visible in the artifact itself):
   (guidance interval, models/diffusion.v_sample): on the rehearsal eval
   protocol the band IMPROVES FAD proxy 67.3 -> 22.1 and onset count-match
   0.73 -> 0.89 over always-on CFG (rehearsal/stage2c_gen_gi0208.log) while
-  cutting compute; plus DeepCache deep-feature reuse (K=3, arXiv:2312.00858;
-  deep half of the folded UNet recomputed every 3rd step via lax.cond inside
+  cutting compute; plus DeepCache deep-feature reuse (K=4, arXiv:2312.00858;
+  deep half of the folded UNet recomputed every 4th step via lax.cond inside
   the scan), quality-neutral-or-better on proxy FAD across two seeds at this
-  exact composition (docs/REHEARSAL.md §11, queue 26: FAD 23.61->21.73
-  seed 0, 25.68->23.41 seed 1; onset metrics identical in seed 1 and within
-  seed noise in seed 0) for +72% throughput.
+  exact composition (docs/REHEARSAL.md §11 + queue 28: FAD 23.61->20.96
+  seed 0, 25.68->22.48 seed 1; onset metrics identical in seed 1 and within
+  seed noise in seed 0 — the same values the accepted K=3 gate showed) for
+  +91% throughput over banded-no-cache (queue-27 perf row: 126.35 vs 66.4).
 * parity protocol — always-on CFG, no cache: the literal reference eval
   setting (exp/evaluate_gh_gen.yaml:21-23), kept in the eval configs.
 
@@ -57,7 +58,7 @@ BATCH = 8  # b8 + guidance interval beats b4 always-CFG (script/perf_sweep.py:
 # 66.4 vs 56.9 clips/min/chip; at b4 the per-step cost floor eats the
 # cond-only saving - folded256_b4_s1 diagnostic)
 GUIDANCE_INTERVAL = (0.2, 0.8)
-DEEP_CACHE_INTERVAL = 3  # quality gate: REHEARSAL §11 queue 26 (two seeds)
+DEEP_CACHE_INTERVAL = 4  # quality gate: REHEARSAL §11/§12 queues 26+28 (two seeds each)
 DEEP_SPLIT = 4
 HBM_PEAK_GB_S = 819.0  # TPU v5e (v5 lite) HBM bandwidth
 

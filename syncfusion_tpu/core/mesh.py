@@ -157,9 +157,23 @@ def local_rows(arr: jax.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a parameter/opt-state pytree across the whole mesh."""
-    sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    """Replicate a parameter/opt-state pytree across the whole mesh.
+
+    Multi-process: ``device_put`` to a multi-host sharding runs a hidden
+    cross-process ``assert_equal`` collective (an allgather of the inputs!)
+    before any jitted work exists — at startup that is (a) a full param-tree
+    transfer over DCN and (b) a 30 s Gloo rendezvous that times out when
+    processes reach it skewed (observed: one worker still compiling while
+    the other waited).  Each process instead uploads its own replicas
+    locally via ``shard_global_array`` — no collective, no cross-host bytes;
+    callers guarantee the tree is identical on every process (same init
+    seed / same restored checkpoint).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, NamedSharding(mesh, P()))
+    return jax.tree_util.tree_map(
+        lambda x: shard_global_array(x, mesh, spec=P()), tree
+    )
 
 
 def fsdp_param_specs(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:

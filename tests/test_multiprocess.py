@@ -165,6 +165,23 @@ _SERVE_WORKER = textwrap.dedent(
     onsets = np.zeros((B, L, 1), np.float32)
     onsets[:, 9, 0] = 1.0
     emb = np.random.default_rng(0).normal(size=(B, 1, 8)).astype(np.float32)
+
+    # AOT-compile the sharded sampler locally, then rendezvous at the
+    # jax.distributed KV-store barrier before executing: the first Gloo
+    # collective context init has a fixed 30 s window, and under host load
+    # the two workers' compile times can skew past it (observed in-suite).
+    from jax.sharding import NamedSharding, PartitionSpec
+    S = jax.ShapeDtypeStruct
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    sampler._sample.lower(
+        jax.tree.map(lambda a: S(a.shape, a.dtype, sharding=a.sharding), params),
+        S((B, L, 1), jnp.float32, sharding=sh),
+        S((B, L, 1), jnp.float32, sharding=sh),
+        S((B, 1, 8), jnp.float32, sharding=sh),
+    ).compile()
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier("sampler_compiled", 600_000)
+
     out_local = sampler(params, onsets, emb, jax.random.key(3))
     idx = sampler.local_indices()
     assert out_local.shape == (len(idx), L) and len(idx) == 2
