@@ -109,8 +109,12 @@ def main(argv=None) -> None:
                          "disable (reference-parity always-on CFG).")
     ap.add_argument("--deep_cache_interval", type=int, default=0,
                     help="DeepCache: recompute the UNet's deep half only "
-                         "every K-th sampler step (0/1 = off; quality/"
-                         "throughput trade measured in docs/REHEARSAL.md)")
+                         "every K-th sampler step (0/1 = off; quality-gated "
+                         "two seeds each: K=4 at the 150-step default, K=2 "
+                         "at the fast point — docs/REHEARSAL.md §11-§12). "
+                         "THE validated fast-serving config is --sampler dpm "
+                         "--num_steps 32 --embedding_scale 1.5 "
+                         "--deep_cache_interval 2 (with the default band).")
     ap.add_argument("--deep_split", type=int, default=4,
                     help="DeepCache split level: UNet levels >= this are "
                          "cached (must be < the model's level count)")

@@ -32,6 +32,14 @@ class DataParallelSampler:
     better sample quality than always-on CFG (FAD proxy 22.1 vs 67.3,
     onset count-match 0.89 vs 0.73 on the rehearsal protocol).  Pass
     ``guidance_interval=None`` for reference-parity always-on CFG.
+
+    Validated operating points (each quality-gated over two seeds at the
+    exact composition, docs/REHEARSAL.md §11–§12):
+
+    * quality default — ``num_steps=150`` + band + ``deep_cache_interval=4``
+      (the bench headline; cache neutral-or-better vs the no-cache band).
+    * fast point — ``sampler="dpm", num_steps=32, embedding_scale=1.5`` +
+      band + ``deep_cache_interval=2`` (K=3 goes stale at 32 steps).
     """
 
     def __init__(
