@@ -217,6 +217,8 @@ def main(argv=None) -> None:
     from syncfusion_tpu.data.prefetch import device_prefetch
 
     for epoch in range(cfg.trainer.get("max_epochs", 100)):
+        epoch_t0 = time.perf_counter()
+        epoch_steps = 0
         # Prefetch overlaps host video decode + the (uint8) H2D upload with
         # the running step; labels ride along on device and are pulled back
         # (a few KB) only at log intervals.
@@ -233,11 +235,19 @@ def main(argv=None) -> None:
             state, metrics, logits = trainer.train_step(
                 state, b, np.uint32(step_rng.integers(2**32)))
             step += 1
+            epoch_steps += 1
             if step % cfg.trainer.get("log_every_n_steps", 10) == 0:
                 host_metrics = onset_metrics(np.asarray(logits),
                                              np.asarray(b["label"]))
                 host_metrics["loss/train"] = float(metrics["loss/train"])
                 metrics_logger.log(host_metrics, step=step)
+        if epoch_steps:
+            # sync before timing: over the chip tunnel block_until_ready can
+            # return early — pull a scalar from the last step (CLAUDE.md rule)
+            float(metrics["loss/train"])
+            epoch_dt = time.perf_counter() - epoch_t0
+            log.info("epoch %d: %d steps in %.1f s (%.3f s/step)",
+                     epoch, epoch_steps, epoch_dt, epoch_dt / epoch_steps)
         if (epoch + 1) % cfg.trainer.get("check_val_every_n_epoch", 5) == 0:
             agg = evaluate(trainer, state, val_ds, cfg, mesh)
             metrics_logger.log({f"{k}/val": v for k, v in agg.items()}, step=step)
