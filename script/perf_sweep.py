@@ -103,6 +103,9 @@ VARIANTS = {
     "folded256_b8_band_dc4": dict(fold_cap=256, bf16_params=False, batch=8,
                                   guidance_interval=(0.2, 0.8),
                                   deep_cache_interval=4),
+    "folded256_b8_band_dc5": dict(fold_cap=256, bf16_params=False, batch=8,
+                                  guidance_interval=(0.2, 0.8),
+                                  deep_cache_interval=5),
     "folded256_b8_band_dc6": dict(fold_cap=256, bf16_params=False, batch=8,
                                   guidance_interval=(0.2, 0.8),
                                   deep_cache_interval=6),
