@@ -96,13 +96,19 @@ def _unet_param_bytes(params: dict) -> tuple[int, int]:
             deep += n
         else:
             shallow += n
-    return shallow * 2, deep * 2  # bf16 stream
+    # 2 B/param is the FLOOR: params are stored f32 and cast to bf16 in the
+    # forward; the floor holds when XLA hoists that loop-invariant convert
+    # out of the sampling scan (one bf16 copy streamed per step).  If it
+    # does not, actual weight traffic is 2x this.  Either way the roofline
+    # row stays a lower bound (and weights are <1% of peak here — the
+    # sampler is activation-bound).
+    return shallow * 2, deep * 2
 
 
 def main() -> None:
     from syncfusion_tpu.models.diffusion import (
+        band_segments,
         deep_cache_refresh_mask,
-        guidance_band_mask,
     )
     from syncfusion_tpu.models.syncfusion import SyncFusionDiffusion
 
@@ -144,16 +150,12 @@ def main() -> None:
 
     # --- roofline telemetry (weight-read lower bound on HBM traffic) ------
     shallow_b, deep_b = _unet_param_bytes(params)
-    band = guidance_band_mask(NUM_STEPS, *GUIDANCE_INTERVAL)
-    # full (deep-refresh) steps per contiguous band segment, serving cadence
-    n_full = 0
-    start = 0
-    while start < NUM_STEPS:
-        end = start
-        while end < NUM_STEPS and band[end] == band[start]:
-            end += 1
-        n_full += sum(deep_cache_refresh_mask(end - start, DEEP_CACHE_INTERVAL))
-        start = end
+    # full (deep-refresh) steps per band segment — band_segments is the SAME
+    # segmentation the samplers scan, so this count tracks their cadence
+    n_full = sum(
+        sum(deep_cache_refresh_mask(end - start, DEEP_CACHE_INTERVAL))
+        for start, end, _ in band_segments(NUM_STEPS, *GUIDANCE_INTERVAL)
+    )
     serving_gb = (NUM_STEPS * shallow_b + n_full * deep_b) / 1e9
     parity_gb = NUM_STEPS * (shallow_b + deep_b) / 1e9
 
@@ -189,7 +191,9 @@ def main() -> None:
                     "parity_pct_hbm_peak": round(
                         100 * parity_gb / dt_parity / HBM_PEAK_GB_S, 1
                     ),
-                    "note": "bf16 weight stream only; activations excluded",
+                    "note": "weight stream floor (2 B/param; f32-stored, "
+                            "bf16 if XLA hoists the cast); activations "
+                            "excluded",
                 },
             }
         )

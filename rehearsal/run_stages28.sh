@@ -8,7 +8,7 @@
 #        (ddim@150 + band [0.2,0.8]), two seeds, with band and band+dc3
 #        anchors re-run on THIS checkpoint (VERDICT r4 next #1).
 #   4.   Non-uniform cadence probe: K=3-equivalent refresh count, denser at
-#        low sigma (deep_cache_pow=2.0, models/diffusion._refresh_mask),
+#        low sigma (deep_cache_pow=2.0, models/diffusion.deep_cache_refresh_mask),
 #        two seeds (VERDICT r4 next #1, second half).
 #   5.   Fast-point composition: dpm@32 + scale 1.5 + band x {none, dc2, dc3},
 #        two seeds (VERDICT r4 next #2).

@@ -26,6 +26,7 @@ import dataclasses
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -128,7 +129,11 @@ def shard_global_array(x: Any, mesh: Mesh, spec: Optional[P] = None) -> jax.Arra
     Used by the serving path, where every host derives the same global
     noise/conditioning deterministically from a shared seed.
     """
-    x = np.asarray(x)
+    if not (isinstance(x, jax.Array) and x.is_fully_addressable):
+        # keep device-resident trees on device (replicate_tree on a jitted
+        # init): slicing/device_put below is device→device, never a D2H
+        # drain over the host link
+        x = np.asarray(x)
     if spec is None:
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
     sharding = NamedSharding(mesh, spec)
@@ -146,11 +151,14 @@ def local_rows(arr: jax.Array) -> tuple[np.ndarray, np.ndarray]:
     the multi-host serving contract: each host persists the clips its own
     chips generated (no all-gather of waveforms over DCN).
     """
-    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
-    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
-    idx = np.concatenate(
-        [np.arange(s.index[0].start or 0, s.index[0].stop) for s in shards]
-    )
+    n = arr.shape[0]
+    # a batch dim the sharding leaves whole yields index slice(None, None) —
+    # normalize to the full range or np.arange(None or 0, None) silently
+    # returns ZERO rows (review finding, round 5)
+    rng = [(s, s.index[0].indices(n)) for s in arr.addressable_shards]
+    rng.sort(key=lambda t: t[1][0])
+    rows = np.concatenate([np.asarray(s.data) for s, _ in rng], axis=0)
+    idx = np.concatenate([np.arange(start, stop) for _, (start, stop, _) in rng])
     # adjacent devices may hold replicas of the same rows (e.g. model axis)
     uniq, first = np.unique(idx, return_index=True)
     return rows[first], uniq
@@ -167,13 +175,65 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     the other waited).  Each process instead uploads its own replicas
     locally via ``shard_global_array`` — no collective, no cross-host bytes;
     callers guarantee the tree is identical on every process (same init
-    seed / same restored checkpoint).
+    seed / same restored checkpoint), and that guarantee is VERIFIED by a
+    scalar-digest allgather (tiny, and an XLA collective rather than the
+    Gloo host rendezvous that motivated dropping ``device_put``): divergent
+    trees raise here instead of silently computing with different weights
+    per host.
     """
     if jax.process_count() == 1:
         return jax.device_put(tree, NamedSharding(mesh, P()))
+    _assert_trees_agree_across_processes(tree)
     return jax.tree_util.tree_map(
         lambda x: shard_global_array(x, mesh, spec=P()), tree
     )
+
+
+_REPLICATE_SEQ = 0  # per-process call counter; same order on every process
+
+
+def _assert_trees_agree_across_processes(tree: Any) -> None:
+    """Cheap cross-process consistency guard for to-be-replicated trees.
+
+    Each process reduces its LOCAL tree to one float64 digest (deterministic
+    op order → identical trees give bitwise-identical digests), then the
+    digests are exchanged through the ``jax.distributed`` KV store — NOT a
+    Gloo/XLA collective, whose fixed 30 s first-contact window is exactly
+    what compile-time skew between processes blows past (the reason
+    ``device_put``'s hidden assert_equal was dropped).  Never moves the
+    tree itself.
+    """
+    leaves = [np.asarray(x) if np.isscalar(x) else x
+              for x in jax.tree_util.tree_leaves(tree)
+              if np.isscalar(x) or (hasattr(x, "dtype")
+                                    and np.issubdtype(x.dtype, np.number))]
+    dev = [x for x in leaves if isinstance(x, jax.Array)]
+    host = [x for x in leaves if not isinstance(x, jax.Array)]
+    digest = np.float64(len(leaves)) + 0.31 * sum(float(x.size) for x in leaves)
+    if dev:  # reduce on device — no D2H drain of the tree itself
+        digest += float(jax.jit(lambda ls: sum(
+            jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in ls))(dev))
+    for a in host:
+        digest += float(np.sum(np.abs(np.asarray(a, dtype=np.float64))))
+
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:  # initialized without a coordinator — nothing to check
+        return
+    global _REPLICATE_SEQ
+    seq = _REPLICATE_SEQ = _REPLICATE_SEQ + 1  # same call order on every proc
+    key = f"syncfusion/replicate_digest/{seq}"
+    client.key_value_set(f"{key}/{jax.process_index()}", repr(float(digest)))
+    all_digests = [
+        client.blocking_key_value_get(f"{key}/{p}", 300_000)
+        for p in range(jax.process_count())
+    ]
+    if len(set(all_digests)) != 1:
+        raise ValueError(
+            "replicate_tree: tree differs across processes (digests "
+            f"{all_digests}); every process must build the same tree "
+            "(same init seed / same restored checkpoint)")
 
 
 def fsdp_param_specs(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:

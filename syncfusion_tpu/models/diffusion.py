@@ -78,6 +78,28 @@ def guidance_band_mask(num_steps: int, lo: float, hi: float) -> list[bool]:
     ]
 
 
+def band_segments(num_steps: int, lo: float, hi: float) -> list[tuple[int, int, bool]]:
+    """Contiguous same-band-membership runs of the sampler's step range:
+    ``[(start, end, in_band), ...)`` with ``end`` exclusive.
+
+    THE canonical segmentation — the samplers (`v_sample`, `dpm_sample`)
+    scan one `lax.scan` per segment (the CFG batch is 2B inside the band,
+    B outside, so a segment boundary is a shape change) and bench.py's
+    roofline weight accounting walks the identical segments.  Keeping one
+    implementation keeps those in lockstep.
+    """
+    in_band = guidance_band_mask(num_steps, lo, hi)
+    segs = []
+    start = 0
+    while start < num_steps:
+        end = start
+        while end < num_steps and in_band[end] == in_band[start]:
+            end += 1
+        segs.append((start, end, in_band[start]))
+        start = end
+    return segs
+
+
 def _make_nets(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -177,11 +199,17 @@ def deep_cache_refresh_mask(seg_len: int, K: int, pow: float = 1.0) -> list[bool
     n = -(-seg_len // K)  # ceil: refresh count matches the uniform cadence
     if pow == 1.0:
         return [j % K == 0 for j in range(seg_len)]
+    raw = [int(seg_len * (k / n) ** (1.0 / pow)) for k in range(n)]
+    # Two clamp passes that keep all n indices DISTINCT (a naive clamp to
+    # seg_len-1 collides the tail for large pow, silently dropping
+    # refreshes and breaking the same-compute invariant): backward, leave
+    # room for the refreshes after k; forward, force strict increase.
+    for k in range(n - 1, -1, -1):
+        raw[k] = min(raw[k], seg_len - 1 - (n - 1 - k))
     mask = [False] * seg_len
     prev = -1
-    for k in range(n):
-        j = int(seg_len * (k / n) ** (1.0 / pow))
-        j = min(max(j, prev + 1), seg_len - 1)
+    for j in raw:
+        j = max(j, prev + 1)
         mask[j] = True
         prev = j
     return mask
@@ -300,16 +328,9 @@ def v_sample(
 
     if use_cfg and guidance_interval is not None:
         lo, hi = guidance_interval
-        in_band = guidance_band_mask(num_steps, lo, hi)
         x = noise
-        start = 0
-        while start < num_steps:
-            end = start
-            while end < num_steps and in_band[end] == in_band[start]:
-                end += 1
-            x = run_segment(net_cfg if in_band[start] else net_plain,
-                            x, start, end)
-            start = end
+        for start, end, banded in band_segments(num_steps, lo, hi):
+            x = run_segment(net_cfg if banded else net_plain, x, start, end)
         return x
 
     return run_segment(net_cfg if use_cfg else net_plain, noise, 0, num_steps)
@@ -418,15 +439,9 @@ def dpm_sample(
 
     if use_cfg and guidance_interval is not None:
         lo, hi = guidance_interval
-        in_band = guidance_band_mask(num_steps, lo, hi)
-        start = 0
-        while start < num_steps:
-            end = start
-            while end < num_steps and in_band[end] == in_band[start]:
-                end += 1
-            carry = run_segment(net_cfg if in_band[start] else net_plain,
+        for start, end, banded in band_segments(num_steps, lo, hi):
+            carry = run_segment(net_cfg if banded else net_plain,
                                 carry, start, end)
-            start = end
         return carry[0]
 
     carry = run_segment(net_cfg if use_cfg else net_plain, carry, 0, num_steps)

@@ -91,7 +91,7 @@ class DataParallelSampler:
         same GLOBAL conditioning batch + key (derived from a shared seed);
         each host uploads only the shards its chips own and gets back only
         the rows its chips generated — waveforms never cross hosts.  Use
-        ``local_indices(B)`` to know which global rows those are.
+        ``local_indices()`` to know which global rows those are.
         """
         assert onsets.shape[0] == self.batch, (
             f"expected global batch {self.batch}, got {onsets.shape[0]}"
@@ -123,7 +123,9 @@ class DataParallelSampler:
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         idx_map = sharding.addressable_devices_indices_map(
             (self.batch, self.length, 1))
+        # .indices() normalizes slice(None) (un-sharded batch dim) to the
+        # full range — `start or 0, stop` would yield an EMPTY arange there
         idx = np.concatenate(
-            [np.arange(s[0].start or 0, s[0].stop) for s in idx_map.values()]
+            [np.arange(*s[0].indices(self.batch)[:2]) for s in idx_map.values()]
         )
         return np.unique(idx)

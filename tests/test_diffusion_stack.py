@@ -291,7 +291,9 @@ def test_deep_cache_refresh_mask_schedules():
     for seg_len, K in [(150, 3), (91, 3), (30, 2), (7, 4), (1, 3), (5, 2)]:
         uni = deep_cache_refresh_mask(seg_len, K)
         assert uni == [j % K == 0 for j in range(seg_len)]
-        for pow in (0.5, 2.0):
+        # large pows exercise the end-clamp: a naive clamp collides tail
+        # indices and silently drops refreshes (review finding, round 5)
+        for pow in (0.25, 0.5, 2.0, 4.0, 8.0):
             nu = deep_cache_refresh_mask(seg_len, K, pow)
             assert len(nu) == seg_len and nu[0]
             assert sum(nu) == sum(uni), (seg_len, K, pow)

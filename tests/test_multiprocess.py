@@ -224,6 +224,15 @@ _SERVE_WORKER = textwrap.dedent(
                 np.asarray(s_got.data), np.asarray(s_want.data))
     ckpt.close()
 
+    # --- divergent to-be-replicated trees must raise, not silently give
+    # each host different weights (replicate_tree digest guard) -----------
+    try:
+        replicate_tree(jnp.full((3,), float(pid)), mesh)
+        caught = False
+    except ValueError:
+        caught = True
+    assert caught, "replicate_tree accepted per-process-divergent trees"
+
     if pid == 0:
         json.dump({"ok": True, "rows": [int(i) for i in idx]},
                   open(os.path.join(outdir, "serve_result.json"), "w"))

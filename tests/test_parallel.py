@@ -22,6 +22,20 @@ def test_mesh_for_batch():
     assert mesh_for_batch(1).shape["data"] == 1
 
 
+def test_local_rows_handles_unsharded_batch_dim():
+    """data-axis size 1 (model-parallel-only mesh): the batch dim's shard
+    index is slice(None) — local_rows must return ALL rows, not an empty
+    arange(None or 0, None) (review finding, round 5)."""
+    from syncfusion_tpu.core.mesh import MeshSpec, local_rows, shard_global_array
+
+    mesh = create_mesh(MeshSpec(data=1, model=8))
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    arr = shard_global_array(x, mesh)
+    rows, idx = local_rows(arr)
+    np.testing.assert_array_equal(idx, np.arange(8))
+    np.testing.assert_array_equal(rows, x)
+
+
 def test_dp_sampler_runs_and_matches_single_device():
     model = SyncFusionDiffusion(unet=UNet1d(**UNET), onsets_encoder=Encoder1d(**ENC))
     params = model.init(jax.random.key(0), L, batch=1)
