@@ -282,6 +282,26 @@ def test_guidance_band_mask_includes_exact_boundary_steps():
         assert ks[-1] == int(round(0.8 * n))
 
 
+def test_band_segments_canonical():
+    """band_segments is THE shared segmentation (samplers + bench roofline):
+    pin the serving default's segments and the mask roundtrip."""
+    from syncfusion_tpu.models.diffusion import band_segments, guidance_band_mask
+
+    segs = band_segments(150, 0.2, 0.8)
+    # sigma_k = 1 - k/150 in [0.2, 0.8] <=> k in [30, 120] (edges inclusive)
+    assert segs == [(0, 30, False), (30, 121, True), (121, 150, False)]
+    for n, lo, hi in [(150, 0.2, 0.8), (32, 0.2, 0.8), (8, 0.0, 1.0),
+                      (1, 0.3, 0.4), (5, 0.9, 1.0)]:
+        segs = band_segments(n, lo, hi)
+        mask = guidance_band_mask(n, lo, hi)
+        # segments tile [0, n) exactly and alternate membership
+        assert segs[0][0] == 0 and segs[-1][1] == n
+        for (s0, e0, b0), (s1, e1, b1) in zip(segs, segs[1:]):
+            assert e0 == s1 and b0 != b1
+        for s, e, b in segs:
+            assert all(mask[j] == b for j in range(s, e))
+
+
 def test_deep_cache_refresh_mask_schedules():
     """Uniform pow=1 is bitwise j % K == 0 (the round-4-validated cadence);
     pow != 1 keeps the refresh COUNT (same compute) but re-spaces: pow > 1
