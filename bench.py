@@ -58,7 +58,9 @@ BATCH = 8  # b8 + guidance interval beats b4 always-CFG (script/perf_sweep.py:
 # 66.4 vs 56.9 clips/min/chip; at b4 the per-step cost floor eats the
 # cond-only saving - folded256_b4_s1 diagnostic)
 GUIDANCE_INTERVAL = (0.2, 0.8)
-DEEP_CACHE_INTERVAL = 4  # quality gate: REHEARSAL §11/§12 queues 26+28 (two seeds each)
+DEEP_CACHE_INTERVAL = 4  # quality gate: REHEARSAL §11/§12 queues 26+28 (two
+# seeds each); K=5 REJECTED by queue 33 (§13) — onset metrics dip in both
+# seeds, the measured end of quality-neutral cadence on this model
 DEEP_SPLIT = 4
 HBM_PEAK_GB_S = 819.0  # TPU v5e (v5 lite) HBM bandwidth
 
